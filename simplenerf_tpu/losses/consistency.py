@@ -1,0 +1,169 @@
+"""Depth-consistency losses between model pairs.
+
+The plain variants (…Loss01, CoarseFineConsistencyLoss01) are unmasked depth
+MSEs. The reliable variants (…Loss02) arbitrate which model's depth is
+trustworthy per ray by reprojecting the backprojected 3-D point into the
+closest other training view and comparing 5x5 image patches: the model whose
+patch matches the source view better (RMSE below threshold) becomes the
+stop-gradient teacher for the other.
+
+Reference: PointsAugmentationDepthLoss02 / ViewsAugmentationDepthLoss02 /
+CoarseFineConsistencyLoss02 (identical arbitration core, reference
+src/loss_functions/CoarseFineConsistencyLoss02.py:96-222); plus the
+sparse-depth branch where fine (supervised by COLMAP) teaches coarse
+(:174-189).
+
+TPU design: everything is static-shaped masked math — the reference's
+boolean-index filtering becomes multiply-by-mask with the NeRF-ray count as
+denominator, and the 5x5 patch loop becomes an unrolled 25-offset gather.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from simplenerf_tpu.geometry import projection
+from simplenerf_tpu.losses.common import (
+    closest_other_frame,
+    gather_patches,
+    mean_over_mask_count,
+    patch_rmse,
+)
+
+
+def make_plain_depth_consistency(prefix: str, aug_fine_present: bool = False):
+    """Unmasked depth MSE main<->augmented (…Loss01 variants).
+
+    Means over the WHOLE batch (including sparse-depth rays), as the
+    reference does (PointsAugmentationDepthLoss01.py:57-74).
+    """
+
+    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+        total = 0.0
+        for level in ("coarse", "fine") if aug_fine_present else ("coarse",):
+            main_key, aug_key = f"depth_{level}", f"{prefix}depth_{level}"
+            if main_key in outputs and aug_key in outputs:
+                total += jnp.mean(jnp.square(outputs[main_key] - outputs[aug_key]))
+        return total
+
+    return loss_fn
+
+
+def make_plain_coarse_fine_consistency():
+    """Unmasked coarse<->fine depth MSE (CoarseFineConsistencyLoss01.py:25-49)."""
+
+    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+        if "depth_coarse" not in outputs or "depth_fine" not in outputs:
+            return jnp.asarray(0.0)
+        return jnp.mean(jnp.square(outputs["depth_coarse"] - outputs["depth_fine"]))
+
+    return loss_fn
+
+
+def reliable_depth_consistency(
+    depth1: jnp.ndarray,
+    depth2: jnp.ndarray,
+    batch: dict,
+    patch_size: tuple[int, int],
+    rmse_threshold: float,
+) -> jnp.ndarray:
+    """Patch-reprojection-arbitrated bidirectional depth consistency.
+
+    depth1/depth2: (nr,) metric depths of the two models. Applied on NeRF
+    rays only. Returns the scalar loss (sum of both teaching directions).
+    """
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    nerf_mask = batch["indices_mask_nerf"]
+    pixel_ids = batch["pixel_id"]
+    scene = batch["common"]
+    images, poses, intrinsics = scene["images"], scene["poses"], scene["intrinsics"]
+    n, h, w, _ = images.shape
+    py, px = patch_size
+    hpy, hpx = py // 2, px // 2
+
+    image_ids = pixel_ids[:, 0].astype(jnp.int32)
+    x_a = pixel_ids[:, 1].astype(jnp.int32)
+    y_a = pixel_ids[:, 2].astype(jnp.int32)
+
+    closest = closest_other_frame(poses)  # (n,)
+    image_ids_b = jnp.take(closest, image_ids)
+    poses_b = jnp.take(poses, image_ids_b, axis=0)
+
+    # Backproject at each model's (detached) depth and reproject into view b.
+    pts1 = rays_o + rays_d * jax.lax.stop_gradient(depth1)[..., None]
+    pts2 = rays_o + rays_d * jax.lax.stop_gradient(depth2)[..., None]
+    pos1 = jnp.round(projection.reproject(pts1, poses_b, intrinsics[0])).astype(jnp.int32)
+    pos2 = jnp.round(projection.reproject(pts2, poses_b, intrinsics[0])).astype(jnp.int32)
+    x1b, y1b = pos1[:, 0], pos1[:, 1]
+    x2b, y2b = pos2[:, 0], pos2[:, 1]
+
+    def in_bounds(x, y):
+        return (x >= hpx) & (x < w - hpx) & (y >= hpy) & (y < h - hpy)
+
+    valid_a = in_bounds(x_a, y_a)
+    valid_1b = in_bounds(x1b, y1b)
+    valid_2b = in_bounds(x2b, y2b)
+
+    patches_a = gather_patches(images, image_ids, x_a, y_a, py, px)
+    patches_1b = gather_patches(images, image_ids_b, x1b, y1b, py, px)
+    patches_2b = gather_patches(images, image_ids_b, x2b, y2b, py, px)
+
+    rmse1 = patch_rmse(patches_a, patches_1b)
+    rmse2 = patch_rmse(patches_a, patches_2b)
+
+    # maskK true where model K is the more reliable one.
+    mask1 = ((rmse1 < rmse2) | ~valid_2b) & (rmse1 < rmse_threshold) & valid_1b & valid_a
+    mask2 = ((rmse2 < rmse1) | ~valid_1b) & (rmse2 < rmse_threshold) & valid_2b & valid_a
+
+    sq12 = jnp.square(depth1 - jax.lax.stop_gradient(depth2))
+    sq21 = jnp.square(depth2 - jax.lax.stop_gradient(depth1))
+    # Model 2 reliable -> teach model 1 (and vice versa); normalize by the
+    # NeRF-ray count like the reference's mean over the filtered vector.
+    loss1 = mean_over_mask_count(sq12, mask2 & nerf_mask, nerf_mask)
+    loss2 = mean_over_mask_count(sq21, mask1 & nerf_mask, nerf_mask)
+    return loss1 + loss2
+
+
+def make_reliable_depth_consistency(
+    prefix: str,
+    patch_size: tuple[int, int] = (5, 5),
+    rmse_threshold: float = 0.1,
+    aug_fine_present: bool = False,
+):
+    """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}."""
+
+    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+        total = 0.0
+        levels = ("coarse", "fine") if aug_fine_present else ("coarse",)
+        for level in levels:
+            main_key, aug_key = f"depth_{level}", f"{prefix}depth_{level}"
+            if main_key in outputs and aug_key in outputs:
+                total += reliable_depth_consistency(
+                    outputs[main_key], outputs[aug_key], batch, patch_size, rmse_threshold
+                )
+        return total
+
+    return loss_fn
+
+
+def make_reliable_coarse_fine_consistency(
+    patch_size: tuple[int, int] = (5, 5),
+    rmse_threshold: float = 0.1,
+    sparse_depth_enabled: bool = True,
+):
+    """CoarseFineConsistencyLoss02: arbitrated coarse<->fine + the sparse-depth
+    branch where detached fine depth teaches coarse (reference :174-189)."""
+
+    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+        if "depth_coarse" not in outputs or "depth_fine" not in outputs:
+            return jnp.asarray(0.0)
+        dc, df = outputs["depth_coarse"], outputs["depth_fine"]
+        total = reliable_depth_consistency(dc, df, batch, patch_size, rmse_threshold)
+        if sparse_depth_enabled and "indices_mask_sparse_depth" in batch:
+            sd_mask = batch["indices_mask_sparse_depth"]
+            sq = jnp.square(dc - jax.lax.stop_gradient(df))
+            total += mean_over_mask_count(sq, sd_mask, sd_mask)
+        return total
+
+    return loss_fn
