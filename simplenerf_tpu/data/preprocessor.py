@@ -1,0 +1,441 @@
+"""Scene preprocessing: pose normalization, device-resident ray cache,
+epoch-permutation batch sampling, and test-time ray construction.
+
+TPU-first layout: the whole-scene per-pixel ray cache (origins, directions,
+view dirs, NDC variants, target RGB, sparse-depth rasters) is built in one
+jitted pass and lives in HBM as flat (n*h*w, .) arrays. Each training
+iteration the host draws 2048+2048 indices from two epoch permutations
+(NeRF pool + sparse-depth pool) and the gather happens on device inside the
+train step — no host->device batch copies beyond the index vector.
+
+Reference behavior: src/data_preprocessors/DataPreprocessor01.py —
+preprocess_poses (:937-976), create_cache (:228-349), sparse-depth raster
+(:163-185) + NDC conversion (:436-463), batch sampler (:507-585),
+create_test_data (:807-895), model-configs digest (:65-80).
+
+One deliberate deviation: the reference's epoch sampler emits a short batch
+at epoch boundaries (DataPreprocessor01.py:559-563); we wrap into the next
+permutation instead so every batch keeps the static shape XLA needs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplenerf_tpu.geometry import poses as pose_lib
+from simplenerf_tpu.geometry import projection, rays as ray_lib
+
+
+class EpochSampler:
+    """Shuffled-permutation index stream with wrap-around (host-side)."""
+
+    def __init__(self, pool: np.ndarray, rng: np.random.Generator):
+        self.pool = np.asarray(pool)
+        self.rng = rng
+        self.perm = self.rng.permutation(self.pool)
+        self.cursor = 0
+
+    def reset_pool(self, pool: np.ndarray):
+        self.pool = np.asarray(pool)
+        self.perm = self.rng.permutation(self.pool)
+        self.cursor = 0
+
+    def next(self, count: int) -> np.ndarray:
+        out = []
+        remaining = count
+        while remaining > 0:
+            take = min(remaining, len(self.perm) - self.cursor)
+            out.append(self.perm[self.cursor : self.cursor + take])
+            self.cursor += take
+            remaining -= take
+            if self.cursor >= len(self.perm):
+                self.perm = self.rng.permutation(self.pool)
+                self.cursor = 0
+        return np.concatenate(out)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "ndc"))
+def _build_ray_cache(images, intrinsics, c2ws, near: float, h: int, w: int, ndc: bool):
+    """Per-pixel rays for all frames, flattened to (n*h*w, .) — one XLA program."""
+
+    def per_frame(frame_idx, intrinsic, c2w):
+        rays_o, rays_d = ray_lib.get_rays(h, w, intrinsic, c2w)
+        x, y = ray_lib.pixel_grid(h, w)
+        pixel_id = jnp.stack([jnp.full_like(x, frame_idx), x, y], axis=-1)
+        out = {"rays_o": rays_o, "rays_d": rays_d, "pixel_id": pixel_id}
+        if ndc:
+            o_ndc, d_ndc = ray_lib.ndc_rays(
+                rays_o, rays_d, h, w, intrinsic[0, 0], intrinsic[1, 1], near
+            )
+            out["rays_o_ndc"] = o_ndc
+            out["rays_d_ndc"] = d_ndc
+        return out
+
+    n = intrinsics.shape[0]
+    frames = jax.vmap(per_frame)(jnp.arange(n, dtype=jnp.float32), intrinsics, c2ws)
+    cache = {k: v.reshape(n * h * w, v.shape[-1]) for k, v in frames.items()}
+    cache["view_dirs"] = ray_lib.get_view_dirs(cache["rays_d"])
+    cache["pixel_id"] = cache["pixel_id"].astype(jnp.int32)
+    cache["target_rgb"] = images.reshape(n * h * w, 3)
+    return cache
+
+
+class ScenePreprocessor:
+    """Per-scene data pipeline for train/validation/test."""
+
+    def __init__(
+        self,
+        configs: dict,
+        mode: str,
+        raw_data: Optional[dict] = None,
+        model_configs: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.configs = configs
+        self.mode = mode.lower()
+        dl = configs["data_loader"]
+        self.ndc = dl["ndc"]
+        self.bd_factor = dl.get("bd_factor")
+        self.downsampling_factor = dl.get("downsampling_factor", 1)
+        self.num_rays = dl.get("num_rays", 2048)
+        self.sparse_depth_needed = "sparse_depth" in dl
+        self.dense_depth_needed = "dense_depth" in dl
+        self.visibility_prior_needed = "visibility_prior" in dl
+        self.white_bkgd = configs.get("model", {}).get("white_bkgd", False)
+        self.rng = np.random.default_rng(seed)
+        self.model_configs = model_configs
+
+        if self.mode in ("train", "validation"):
+            assert raw_data is not None
+            self._preprocess(raw_data)
+            if self.mode == "train":
+                self.model_configs = self._create_model_configs()
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, raw: dict):
+        nerf = raw["nerf_data"]
+        self.frame_nums = np.asarray(raw["frame_nums"])
+        images = self._preprocess_images(nerf["images"])
+        intrinsics = nerf["intrinsics"].astype(np.float32).copy()
+        h, w = nerf["resolution"]
+        if self.downsampling_factor > 1:
+            import cv2
+
+            f = self.downsampling_factor
+            h, w = h // f, w // f
+            images = np.stack(
+                [cv2.resize(im, (w, h), interpolation=cv2.INTER_AREA) for im in images]
+            )
+            intrinsics[:, :2] /= f
+        self.resolution = (int(h), int(w))
+        self.images = images.astype(np.float32)
+
+        if self.mode == "train":
+            pp = pose_lib.preprocess_poses(
+                nerf["extrinsics"],
+                bounds=nerf["bounds"],
+                bd_factor=self.bd_factor,
+                recenter=self.configs["data_loader"].get("recenter_camera_poses", True),
+                train_mode=True,
+            )
+            self.sc = pp["sc"]
+            self.average_pose = pp["average_pose"]
+            bounds = pp["bounds"]
+        else:
+            pp = pose_lib.preprocess_poses(
+                nerf["extrinsics"],
+                bounds=nerf["bounds"],
+                translation_scale=self.model_configs["translation_scale"],
+                avg_pose=np.array(self.model_configs["average_pose"]),
+                train_mode=False,
+            )
+            self.sc = self.model_configs["translation_scale"]
+            self.average_pose = np.array(self.model_configs["average_pose"])
+            bounds = pp["bounds"]
+        self.poses = pp["poses"]
+        self.intrinsics = intrinsics
+        self.bounds = np.asarray(bounds)
+
+        if not self.ndc:
+            self.near = float(self.bounds[0] * 0.9)
+            self.far = float(self.bounds[1])
+        else:
+            bd = self.bd_factor if self.bd_factor is not None else 1.0
+            self.near = float(self.bounds[0] * bd)
+            self.far = float(self.bounds[1])
+            self.near_ndc, self.far_ndc = 0.0, 1.0
+
+        # Device-resident ray cache.
+        self.cache = dict(
+            _build_ray_cache(
+                jnp.asarray(self.images),
+                jnp.asarray(self.intrinsics),
+                jnp.asarray(self.poses),
+                self.near,
+                *self.resolution,
+                ndc=self.ndc,
+            )
+        )
+        self.common = {
+            "images": jnp.asarray(self.images),
+            "poses": jnp.asarray(self.poses),
+            "intrinsics": jnp.asarray(self.intrinsics),
+        }
+
+        n = len(self.images)
+        self.num_frames = n
+        self.sampler = EpochSampler(self._nerf_index_pool(iter_num=0), self.rng)
+
+        if self.sparse_depth_needed and self.mode == "train":
+            self._preprocess_sparse_depth(raw)
+        if self.dense_depth_needed and self.mode == "train":
+            self._preprocess_dense_depth(raw)
+        if self.visibility_prior_needed and self.mode == "train":
+            self._preprocess_visibility_prior(raw)
+
+    def _preprocess_images(self, images: np.ndarray) -> np.ndarray:
+        images = images.astype(np.float32) / 255.0
+        if self.white_bkgd and images.shape[-1] == 4:
+            images = images[..., :3] * images[..., 3:] + (1.0 - images[..., 3:])
+        return images[..., :3]
+
+    def _nerf_index_pool(self, iter_num: int) -> np.ndarray:
+        """All-pixel index pool, optionally centre-cropped early in training
+        (precrop, DataPreprocessor01.generate_indices :252-270)."""
+        n = len(self.images)
+        h, w = self.resolution
+        dl = self.configs["data_loader"]
+        frac = dl.get("precrop_fraction", 1)
+        pc_iters = dl.get("precrop_iterations", -1)
+        indices = np.arange(n * h * w)
+        if frac < 1 and iter_num < pc_iters:
+            h1 = int(round(h / 2 * (1 - frac)))
+            h2 = int(round(h / 2 * (1 + frac)))
+            w1 = int(round(w / 2 * (1 - frac)))
+            w2 = int(round(w / 2 * (1 + frac)))
+            indices = indices.reshape(n, h, w)[:, h1:h2, w1:w2].ravel()
+        return indices
+
+    def _preprocess_sparse_depth(self, raw: dict):
+        h, w = self.resolution
+        depths, errors = [], []
+        for fn in self.frame_nums:
+            depth = -np.ones((h, w), np.float32)
+            err = -np.ones((h, w), np.float32)
+            frame = raw.get("sparse_depth_data", {}).get(int(fn))
+            if frame is not None:
+                x = frame["x"].to_numpy() / self.downsampling_factor
+                y = frame["y"].to_numpy() / self.downsampling_factor
+                xi = np.clip(np.round(x), 0, w - 1).astype(int)
+                yi = np.clip(np.round(y), 0, h - 1).astype(int)
+                depth[yi, xi] = frame["depth"].to_numpy() * self.sc
+                err[yi, xi] = frame["reprojection_error"].to_numpy()
+            depths.append(depth)
+            errors.append(err)
+        depths = np.stack(depths).reshape(-1, 1)
+        errors = np.stack(errors).reshape(-1, 1)
+        self.cache["sparse_depth_values"] = jnp.asarray(depths)
+        self.cache["sparse_depth_errors"] = jnp.asarray(errors)
+        if self.ndc:
+            d_ndc = np.array(
+                projection.depth_to_ndc(
+                    jnp.asarray(depths), self.cache["rays_o"], self.cache["rays_d"], near=1.0
+                )
+            )
+            d_ndc[depths == -1] = -1
+            self.cache["sparse_depth_values_ndc"] = jnp.asarray(d_ndc)
+
+        sd_cfg = self.configs["data_loader"]["sparse_depth"]
+        self.num_rays_sparse_depth = sd_cfg.get("num_rays", 2048)
+        pool = np.where(depths[:, 0] > 0)[0]
+        self.sparse_sampler = EpochSampler(pool, self.rng)
+
+    def _preprocess_dense_depth(self, raw: dict):
+        dd = raw["dense_depth_data"]
+        depths = (dd["depth_values"] * self.sc).astype(np.float32).reshape(-1, 1)
+        weights = dd["depth_weights"].astype(np.float32).reshape(-1, 1)
+        self.cache["dense_depth_values"] = jnp.asarray(depths)
+        self.cache["dense_depth_weights"] = jnp.asarray(weights)
+        if self.ndc:
+            d_ndc = np.array(
+                projection.depth_to_ndc(
+                    jnp.asarray(depths), self.cache["rays_o"], self.cache["rays_d"], near=self.near
+                )
+            )
+            d_ndc[depths == -1] = -1
+            self.cache["dense_depth_values_ndc"] = jnp.asarray(d_ndc)
+
+    def _preprocess_visibility_prior(self, raw: dict):
+        vp = raw["visibility_prior_data"]
+        n = self.num_frames
+        if "masks" in vp:
+            masks = vp["masks"].astype(np.float32)  # (n, n-1, h, w)
+            masks = np.transpose(masks, (0, 2, 3, 1)).reshape(-1, n - 1)
+            self.cache["visibility_prior_masks"] = jnp.asarray(masks)
+        if "weights" in vp:
+            weights = vp["weights"].astype(np.float32)
+            weights = np.transpose(weights, (0, 2, 3, 1)).reshape(-1, n - 1)
+            self.cache["visibility_prior_weights"] = jnp.asarray(weights)
+
+    # ------------------------------------------------------------------
+    def _create_model_configs(self) -> dict:
+        cfg = {
+            "resolution": list(self.resolution),
+            "bounds": np.asarray(self.bounds).tolist(),
+            "translation_scale": float(self.sc),
+            f"{self.mode}_frame_nums": np.asarray(self.frame_nums).tolist(),
+            "intrinsic": np.mean(self.intrinsics, axis=0).tolist(),
+            "average_pose": np.asarray(self.average_pose).tolist(),
+            "near": self.near,
+            "far": self.far,
+        }
+        if self.ndc:
+            cfg["near_ndc"] = self.near_ndc
+            cfg["far_ndc"] = self.far_ndc
+        return cfg
+
+    def get_model_configs(self) -> dict:
+        return self.model_configs
+
+    # ------------------------------------------------------------------
+    def next_indices(self, iter_num: int, image_num: Optional[int] = None):
+        """Host-side index draw: (indices, mask_nerf, mask_sd) numpy arrays.
+
+        With image_num set, yields every pixel of that frame (validation)."""
+        dl = self.configs["data_loader"]
+        if image_num is not None:
+            h, w = self.resolution
+            idx = np.where(self.frame_nums == image_num)[0].item()
+            indices = np.arange(h * w) + idx * h * w
+            mask_nerf = np.ones(len(indices), bool)
+            return indices.astype(np.int32), mask_nerf, np.zeros(len(indices), bool)
+
+        if iter_num == dl.get("precrop_iterations", -1):
+            self.sampler.reset_pool(self._nerf_index_pool(iter_num))
+        indices = self.sampler.next(self.num_rays)
+        counts = [len(indices)]
+        if self.sparse_depth_needed and self.mode == "train":
+            sd = self.sparse_sampler.next(self.num_rays_sparse_depth)
+            indices = np.concatenate([indices, sd])
+            counts.append(len(sd))
+        total = len(indices)
+        mask_nerf = np.zeros(total, bool)
+        mask_nerf[: counts[0]] = True
+        mask_sd = ~mask_nerf
+        return indices.astype(np.int32), mask_nerf, mask_sd
+
+    def batch_constants(self) -> dict:
+        """Static per-scene scalars the gather step broadcasts per ray."""
+        consts = {"near": self.near, "far": self.far}
+        if self.ndc:
+            consts["near_ndc"] = self.near_ndc
+            consts["far_ndc"] = self.far_ndc
+        return consts
+
+    # ------------------------------------------------------------------
+    def create_test_data(
+        self,
+        pose: np.ndarray,
+        view_pose: Optional[np.ndarray] = None,
+        secondary_poses: Optional[list] = None,
+        preprocess_pose: bool = True,
+        intrinsic: Optional[np.ndarray] = None,
+        view_intrinsic: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Full-image ray batch for an arbitrary camera pose.
+
+        view_pose decouples the shading view-direction camera from the ray
+        camera (static-camera view-dependence videos); secondary_poses supply
+        the origins for expected secondary-view visibility.
+        """
+        mc = self.model_configs
+        h, w = mc["resolution"]
+
+        def norm(p):
+            return pose_lib.preprocess_poses(
+                np.asarray(p),
+                translation_scale=mc["translation_scale"],
+                avg_pose=np.array(mc["average_pose"]),
+                train_mode=False,
+            )["poses"]
+
+        proc = norm(pose[None])[0] if preprocess_pose else pose.astype(np.float32)
+        K = np.asarray(intrinsic if intrinsic is not None else mc["intrinsic"], np.float32)
+        rays_o, rays_d = ray_lib.get_rays(h, w, jnp.asarray(K), jnp.asarray(proc))
+        if view_pose is not None:
+            vproc = norm(view_pose[None])[0]
+            vK = np.asarray(view_intrinsic if view_intrinsic is not None else mc["intrinsic"], np.float32)
+            _, v_rays_d = ray_lib.get_rays(h, w, jnp.asarray(vK), jnp.asarray(vproc))
+            view_dirs = ray_lib.get_view_dirs(v_rays_d)
+        else:
+            view_dirs = ray_lib.get_view_dirs(rays_d)
+
+        nr = h * w
+        batch = {
+            "rays_o": rays_o.reshape(nr, 3),
+            "rays_d": rays_d.reshape(nr, 3),
+            "view_dirs": view_dirs.reshape(nr, 3),
+            "near": jnp.full((nr, 1), mc["near"], jnp.float32),
+            "far": jnp.full((nr, 1), mc["far"], jnp.float32),
+        }
+        if self.ndc:
+            o_ndc, d_ndc = ray_lib.ndc_rays(
+                batch["rays_o"], batch["rays_d"], h, w, K[0, 0], K[1, 1], mc["near"]
+            )
+            batch["rays_o_ndc"] = o_ndc
+            batch["rays_d_ndc"] = d_ndc
+            batch["near_ndc"] = jnp.full((nr, 1), mc["near_ndc"], jnp.float32)
+            batch["far_ndc"] = jnp.full((nr, 1), mc["far_ndc"], jnp.float32)
+        if secondary_poses is not None:
+            sec = norm(np.stack(secondary_poses))
+            origins = []
+            for sp in sec:
+                so, _ = ray_lib.get_rays(h, w, jnp.asarray(K), jnp.asarray(sp))
+                origins.append(so.reshape(nr, 3))
+            batch["rays_o2"] = jnp.stack(origins, axis=1)  # (nr, k, 3)
+        return batch
+
+    def retrieve_inference_outputs(self, outputs: dict) -> dict:
+        """Reshape eval render outputs into images (fine if present)."""
+        h, w = self.model_configs["resolution"]
+        suffix = "_fine" if any(k.endswith("_fine") for k in outputs) else "_coarse"
+
+        def img(key, ch=None):
+            arr = np.asarray(outputs[f"{key}{suffix}"])
+            return arr.reshape((h, w, ch) if ch else (h, w))
+
+        out = {
+            "image": np.clip(np.round(np.clip(img("rgb", 3), 0, 1) * 255), 0, 255).astype(np.uint8),
+            "depth": np.clip(img("depth"), 0, np.inf),
+            "depth_var": np.clip(img("depth_var"), 0, np.inf),
+        }
+        if self.ndc:
+            out["depth_ndc"] = np.clip(img("depth_ndc"), 0, np.inf)
+            out["depth_var_ndc"] = np.clip(img("depth_var_ndc"), 0, np.inf)
+        key = f"visibility2{suffix}"
+        if key in outputs:
+            vis = np.asarray(outputs[key]).reshape(h, w, -1).transpose(2, 0, 1)
+            out["visibility2"] = vis.astype(np.float32)
+        return out
+
+
+def gather_batch(cache: dict, common: dict, consts: dict, indices, mask_nerf, mask_sd) -> dict:
+    """Pure device-side gather of a training batch from the ray cache.
+
+    Called inside the jitted train step; `indices` is the only per-iteration
+    host->device transfer.
+    """
+    batch = {k: jnp.take(v, indices, axis=0) for k, v in cache.items()}
+    nr = indices.shape[0]
+    for name, value in consts.items():
+        batch[name] = jnp.full((nr, 1), value, jnp.float32)
+    batch["indices_mask_nerf"] = mask_nerf
+    if mask_sd is not None:
+        batch["indices_mask_sparse_depth"] = mask_sd
+    batch["common"] = common
+    return batch

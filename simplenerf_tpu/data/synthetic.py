@@ -1,0 +1,188 @@
+"""Synthetic scene generator in the NeRF-LLFF on-disk layout.
+
+Renders a cluster of Gaussian-density color blobs with an analytic numpy
+volume renderer, giving images AND ground-truth depth from known cameras.
+Written in the same directory contract the LLFF loader reads, it powers the
+end-to-end tests, the benchmark, and QA fixtures without any downloaded
+dataset (the reference repo ships no images either).
+
+Cameras follow the storage convention: OpenCV (x down-y forward-z)
+world-to-camera extrinsics (reference src/database_utils/README.md:69-76);
+the blob cluster sits at positive world z so all cameras are forward-facing
+(NDC-compatible after the preprocessor's convention flip).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from simplenerf_tpu.data import io
+
+
+def _blob_field(rng: np.random.Generator, num_blobs: int = 6):
+    centers = np.stack(
+        [
+            rng.uniform(-1.2, 1.2, num_blobs),
+            rng.uniform(-1.2, 1.2, num_blobs),
+            rng.uniform(3.0, 5.0, num_blobs),
+        ],
+        axis=1,
+    )
+    scales = rng.uniform(0.25, 0.55, num_blobs)
+    density = rng.uniform(8.0, 20.0, num_blobs)
+    colors = rng.uniform(0.15, 0.95, (num_blobs, 3))
+    return centers, scales, density, colors
+
+
+def render_analytic(
+    h: int,
+    w: int,
+    intrinsic: np.ndarray,
+    w2c: np.ndarray,
+    field,
+    near: float = 1.5,
+    far: float = 7.0,
+    num_samples: int = 128,
+):
+    """Analytic volume render (numpy, OpenCV convention). Returns rgb, z-depth."""
+    centers, scales, density, colors = field
+    x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    pix = np.stack([x, y, np.ones_like(x)], -1)
+    dirs_cam = pix @ np.linalg.inv(intrinsic).T  # z forward = +1
+    c2w = np.linalg.inv(w2c)
+    dirs_w = dirs_cam @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+
+    t = np.linspace(near, far, num_samples)
+    pts = origin[None, None, None] + dirs_w[:, :, None, :] * t[None, None, :, None]
+    sigma = np.zeros((h, w, num_samples))
+    rgb = np.zeros((h, w, num_samples, 3))
+    wsum = np.zeros((h, w, num_samples))
+    for c, s, d, col in zip(centers, scales, density, colors):
+        g = d * np.exp(-np.sum((pts - c) ** 2, -1) / (2 * s * s))
+        sigma += g
+        rgb += g[..., None] * col
+        wsum += g
+    rgb = rgb / np.maximum(wsum[..., None], 1e-8)
+
+    dt = (far - near) / (num_samples - 1)
+    alpha = 1.0 - np.exp(-sigma * dt)
+    trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
+    weights = alpha * trans
+    image = np.sum(weights[..., None] * rgb, axis=-2)
+    acc = np.sum(weights, axis=-1)
+    depth = np.sum(weights * t, axis=-1) / np.maximum(acc, 1e-6)
+    # background: soft grey gradient, far depth
+    bg = 0.35 + 0.25 * (y / h)[..., None] * np.ones(3)
+    image = image + (1 - acc[..., None]) * bg
+    depth = acc * depth + (1 - acc) * far
+    return np.clip(image, 0, 1), depth
+
+
+def generate_scene(
+    root: Path,
+    scene_name: str = "blobs",
+    num_frames: int = 6,
+    h: int = 48,
+    w: int = 64,
+    set_num: int = 2,
+    num_train: int = 3,
+    resolution_suffix: str = "_down4",
+    seed: int = 7,
+    sparse_points_per_frame: int = 96,
+) -> dict:
+    """Write a full synthetic scene; returns ground-truth arrays for tests."""
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    scene_dir = root / f"all/database_data/{scene_name}"
+    (scene_dir / f"rgb{resolution_suffix}").mkdir(parents=True, exist_ok=True)
+
+    field = _blob_field(rng)
+    focal = 0.9 * w
+    intrinsic = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
+
+    images, depths, extrinsics = [], [], []
+    for i in range(num_frames):
+        # Cameras fan out on a small grid, looking roughly at the cluster.
+        t = np.array(
+            [0.45 * (i - (num_frames - 1) / 2) / max(num_frames - 1, 1) * 2,
+             0.25 * rng.uniform(-1, 1),
+             0.15 * rng.uniform(-1, 1)]
+        )
+        yaw = 0.06 * (i - (num_frames - 1) / 2)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        w2c = np.eye(4)
+        w2c[:3, :3] = rot
+        w2c[:3, 3] = -rot @ t
+        extrinsics.append(w2c)
+        image, depth = render_analytic(h, w, intrinsic, w2c, field)
+        images.append(image)
+        depths.append(depth)
+
+    images = np.stack(images)
+    depths = np.stack(depths)
+    extrinsics = np.stack(extrinsics)
+
+    for i in range(num_frames):
+        io.write_image(
+            scene_dir / f"rgb{resolution_suffix}/{i:04}.png",
+            np.round(images[i] * 255).astype(np.uint8),
+        )
+    np.savetxt(
+        scene_dir / "DepthBounds.csv",
+        np.stack([depths.reshape(num_frames, -1).min(1) * 0.9,
+                  depths.reshape(num_frames, -1).max(1) * 1.1], 1),
+        delimiter=",",
+    )
+    np.savetxt(scene_dir / "CameraExtrinsics.csv", extrinsics.reshape(num_frames, 16), delimiter=",")
+    np.savetxt(
+        scene_dir / f"CameraIntrinsics{resolution_suffix}.csv",
+        np.tile(intrinsic.reshape(1, 9), (num_frames, 1)),
+        delimiter=",",
+    )
+
+    # Train/val/test split CSVs.
+    frame_ids = np.arange(num_frames)
+    train_frames = np.linspace(0, num_frames - 1, num_train).round().astype(int)
+    rest = [f for f in frame_ids if f not in train_frames]
+    val_frames = rest[:1]
+    test_frames = rest
+    sets_dir = root / f"train_test_sets/set{set_num:02}"
+    sets_dir.mkdir(parents=True, exist_ok=True)
+    for name, frames in (
+        ("TrainVideosData", train_frames),
+        ("ValidationVideosData", val_frames),
+        ("TestVideosData", test_frames),
+    ):
+        pd.DataFrame({"scene_name": scene_name, "pred_frame_num": list(frames)}).to_csv(
+            sets_dir / f"{name}.csv", index=False
+        )
+
+    # COLMAP-style sparse depth CSVs from ground-truth depth + noise.
+    sd_dir = root / f"all/estimated_depths/DE02/{scene_name}/estimated_depths{resolution_suffix}"
+    sd_dir.mkdir(parents=True, exist_ok=True)
+    for i in train_frames:
+        xs = rng.integers(0, w, sparse_points_per_frame)
+        ys = rng.integers(0, h, sparse_points_per_frame)
+        d = depths[i, ys, xs] * (1 + 0.01 * rng.standard_normal(sparse_points_per_frame))
+        err = np.abs(rng.standard_normal(sparse_points_per_frame)) * 0.5
+        weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
+        pd.DataFrame(
+            {"x": xs, "y": ys, "depth": d, "reprojection_error": err, "weight": weight}
+        ).to_csv(sd_dir / f"{i:04}.csv", index=False)
+
+    return {
+        "images": images,
+        "depths": depths,
+        "extrinsics": extrinsics,
+        "intrinsic": intrinsic,
+        "train_frames": train_frames,
+        "val_frames": np.array(val_frames),
+        "test_frames": np.array(test_frames),
+        "field": field,
+    }

@@ -1,0 +1,232 @@
+"""Training harness: one fused jitted train step, driven by a host loop.
+
+Per iteration the host draws ray indices and loss-schedule weights; the
+device executes gather -> render (all MLPs) -> 9-loss stack -> grad -> Adam
+as one XLA program. The reference's grad-accumulation sub-batching
+(src/Trainer01.py:61-107) is unnecessary on TPU — the full 4096-ray batch
+fits comfortably — and its loss arithmetic is reproduced exactly by the
+masked single-pass computation (sub-batches were mask-disjoint, so the sum
+of sub-batch losses equals the masked full-batch losses).
+
+Parallelism: with a mesh, the index vector is sharded over the 'rays' axis
+and params/optimizer/cache replicated; XLA partitions per-ray compute and
+psums gradients over ICI (see simplenerf_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from simplenerf_tpu import config as config_lib
+from simplenerf_tpu.data import io
+from simplenerf_tpu.data.preprocessor import ScenePreprocessor, gather_batch
+from simplenerf_tpu.losses import LossComputer, LossContext
+from simplenerf_tpu.parallel import mesh as mesh_lib
+from simplenerf_tpu.render import renderer
+from simplenerf_tpu.training import checkpoints
+from simplenerf_tpu.training.logger import TrainLogger
+from simplenerf_tpu.training.lr_decay import make_lr_schedule
+
+
+def loss_context_from_configs(configs: dict) -> LossContext:
+    model = configs["model"]
+    return LossContext(
+        points_aug_fine="fine_mlp" in model.get("points_augmentation", {}),
+        views_aug_fine="fine_mlp" in model.get("views_augmentation", {}),
+        sparse_depth_enabled="sparse_depth" in configs["data_loader"],
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        configs: dict,
+        output_dir: Path,
+        train_pp: ScenePreprocessor,
+        val_pp: Optional[ScenePreprocessor] = None,
+        mesh=None,
+        compute_dtype: Optional[str] = None,
+    ):
+        self.configs = configs
+        self.output_dir = Path(output_dir)
+        self.train_pp = train_pp
+        self.val_pp = val_pp
+        self.mesh = mesh
+
+        self.render_cfg = config_lib.render_config_from_dict(configs, compute_dtype)
+        self.loss_computer = LossComputer(configs["losses"], loss_context_from_configs(configs))
+        opt_cfg = configs["optimizer"]
+        self.lr_schedule = make_lr_schedule(opt_cfg, configs.get("num_iterations", 0))
+        self.opt = optax.adam(
+            self.lr_schedule, b1=opt_cfg.get("beta1", 0.9), b2=opt_cfg.get("beta2", 0.999)
+        )
+
+        seed = configs.get("seed", 0)
+        self.base_key = jax.random.PRNGKey(seed)
+        self.params = renderer.init(jax.random.PRNGKey(seed), self.render_cfg)
+        self.opt_state = self.opt.init(self.params)
+        self.start_iter = 0
+
+        if configs.get("resume_training", True):
+            latest = checkpoints.latest_checkpoint(self.output_dir / "saved_models")
+            if latest is not None:
+                self.start_iter, self.params, self.opt_state = checkpoints.load_checkpoint(
+                    latest, self.params, self.opt_state
+                )
+
+        if self.mesh is not None:
+            self.params = mesh_lib.replicate(self.mesh, self.params)
+            self.opt_state = mesh_lib.replicate(self.mesh, self.opt_state)
+
+        self.logger = TrainLogger(self.output_dir / "logs")
+        self._step = self._build_step()
+        self._eval_step = build_eval_renderer(self.render_cfg)
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        render_cfg = self.render_cfg
+        loss_computer = self.loss_computer
+        opt = self.opt
+        consts = self.train_pp.batch_constants()
+
+        def step(params, opt_state, cache, common, indices, mask_nerf, mask_sd, key, weights):
+            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd)
+
+            def loss_fn(p):
+                outputs = renderer.render_rays(p, render_cfg, batch, key, train=True)
+                total, values = loss_computer.compute(batch, outputs, weights)
+                return total, values
+
+            (_, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, values
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def train_one_iter(self, iter_num: int):
+        pp = self.train_pp
+        indices, mask_nerf, mask_sd = pp.next_indices(iter_num)
+        weights = jnp.asarray(self.loss_computer.weights_vector(iter_num))
+        key = jax.random.fold_in(self.base_key, iter_num)
+        indices = jnp.asarray(indices)
+        mask_nerf_j = jnp.asarray(mask_nerf)
+        mask_sd_j = jnp.asarray(mask_sd)
+        if self.mesh is not None:
+            indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch(
+                self.mesh, (indices, mask_nerf_j, mask_sd_j)
+            )
+        self.params, self.opt_state, values = self._step(
+            self.params, self.opt_state, pp.cache, pp.common,
+            indices, mask_nerf_j, mask_sd_j, key, weights,
+        )
+        return values
+
+    def train(self, num_iterations: Optional[int] = None):
+        num_iterations = num_iterations or self.configs["num_iterations"]
+        val_interval = self.configs.get("validation_interval", 0)
+        save_interval = self.configs.get("model_save_interval", 10000)
+        log_interval = self.configs.get("log_interval", 100)
+
+        values = {}
+        t_last = time.time()
+        rays_per_iter = self.train_pp.num_rays + getattr(self.train_pp, "num_rays_sparse_depth", 0)
+        for it in range(self.start_iter, num_iterations):
+            values = self.train_one_iter(it)
+            if (it + 1) % log_interval == 0 or it == self.start_iter:
+                values = {k: float(v) for k, v in values.items()}
+                dt = time.time() - t_last
+                iters_done = log_interval if it != self.start_iter else 1
+                scalars = dict(values)
+                scalars["lr"] = float(self.lr_schedule(it))
+                scalars["rays_per_s"] = rays_per_iter * iters_done / max(dt, 1e-9)
+                self.logger.log_scalars(it + 1, scalars)
+                t_last = time.time()
+            if val_interval and (it + 1) % val_interval == 0:
+                self.run_validation(it + 1)
+            if (it + 1) % save_interval == 0 or (it + 1) == num_iterations:
+                self.save_checkpoint(it + 1)
+        return values
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, iteration: int):
+        checkpoints.save_checkpoint(
+            self.output_dir / "saved_models", iteration,
+            jax.device_get(self.params), jax.device_get(self.opt_state),
+        )
+
+    def run_validation(self, iteration: int):
+        """Render one full frame from train (and val) data; save + log PSNR
+        (reference run_validation, src/Trainer01.py:109-263)."""
+        chunk = self.configs.get("validation_chunk_size", 64 * 1024)
+        jobs = [("train_images", self.train_pp)]
+        if self.val_pp is not None:
+            jobs.append(("validation_images", self.val_pp))
+        for tag, pp in jobs:
+            frame_num = int(pp.frame_nums[0])
+            indices, mask_nerf, _ = pp.next_indices(0, image_num=frame_num)
+            batch = gather_batch(
+                pp.cache, pp.common, pp.batch_constants(),
+                jnp.asarray(indices), jnp.asarray(mask_nerf), None,
+            )
+            outputs = render_in_chunks(self._eval_step, self.params, batch, chunk)
+            h, w = pp.resolution
+            suffix = "_fine" if self.render_cfg.fine_mlp is not None else "_coarse"
+            pred = np.asarray(outputs[f"rgb{suffix}"]).reshape(h, w, 3)
+            target = np.asarray(pp.images[np.where(pp.frame_nums == frame_num)[0].item()])
+            mse = float(np.mean((pred - target) ** 2))
+            psnr = -10 * np.log10(max(mse, 1e-12))
+            self.logger.log_scalars(iteration, {f"validation/{tag}_mse": mse, f"validation/{tag}_psnr": psnr})
+            out_dir = self.output_dir / tag / f"iter_{iteration:06}"
+            io.write_image(out_dir / f"{frame_num:04}.png",
+                           np.round(np.clip(pred, 0, 1) * 255).astype(np.uint8))
+            io.write_depth(out_dir / f"{frame_num:04}_depth",
+                           np.asarray(outputs[f"depth{suffix}"]).reshape(h, w))
+
+
+def build_eval_renderer(render_cfg: renderer.RenderConfig):
+    """Jitted deterministic eval render of a fixed-size ray chunk."""
+
+    def eval_step(params, ray_chunk):
+        return renderer.render_rays(
+            params, render_cfg, ray_chunk, train=False, keep_per_sample=False
+        )
+
+    return jax.jit(eval_step)
+
+
+RAY_KEYS = (
+    "rays_o", "rays_d", "view_dirs", "near", "far",
+    "rays_o_ndc", "rays_d_ndc", "near_ndc", "far_ndc", "rays_o2",
+)
+
+
+def render_in_chunks(eval_step, params, ray_batch: dict, chunk: int) -> dict:
+    """Full-image render: pad rays to a chunk multiple, loop one jitted chunk
+    program (single compilation), concatenate, trim.
+
+    The reference's serial `batchify_rays` python loop (SimpleNeRF01.py:81-106)
+    with chunking as a *memory* knob; here the chunk is sized to keep the TPU
+    busy (default 64k rays -> 12M samples in flight).
+    """
+    rays = {k: v for k, v in ray_batch.items() if k in RAY_KEYS}
+    nr = rays["rays_o"].shape[0]
+    chunk = min(chunk, max(nr, 1))
+    num_chunks = -(-nr // chunk)
+    padded = num_chunks * chunk
+    if padded != nr:
+        rays = {k: jnp.concatenate([v, jnp.repeat(v[-1:], padded - nr, axis=0)]) for k, v in rays.items()}
+    pieces = []
+    for i in range(num_chunks):
+        sl = {k: v[i * chunk : (i + 1) * chunk] for k, v in rays.items()}
+        pieces.append(eval_step(params, sl))
+    out = {k: jnp.concatenate([p[k] for p in pieces], axis=0)[:nr] for k in pieces[0]}
+    return out

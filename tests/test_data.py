@@ -1,0 +1,139 @@
+"""End-to-end data layer tests on a generated synthetic LLFF-layout scene."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simplenerf_tpu.data import get_data_loader, gather_batch
+from simplenerf_tpu.data.preprocessor import EpochSampler, ScenePreprocessor
+from simplenerf_tpu.data.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("db")
+    gt = generate_scene(root, num_frames=5, h=24, w=32, num_train=3)
+    return root, gt
+
+
+def make_configs(ndc=True, sparse=True):
+    cfg = {
+        "data_loader": {
+            "data_loader_name": "NerfLlffDataLoader01",
+            "scene_id": "blobs",
+            "resolution_suffix": "_down4",
+            "train_set_num": 2,
+            "recenter_camera_poses": True,
+            "bd_factor": 0.75,
+            "spherify": False,
+            "ndc": ndc,
+            "batching": True,
+            "downsampling_factor": 1,
+            "num_rays": 64,
+        },
+        "model": {"white_bkgd": False},
+    }
+    if sparse:
+        cfg["data_loader"]["sparse_depth"] = {"dirname": "DE02", "num_rays": 32}
+    return cfg
+
+
+class TestEpochSampler:
+    def test_covers_pool_and_wraps(self):
+        rng = np.random.default_rng(0)
+        s = EpochSampler(np.arange(10), rng)
+        batch1 = s.next(7)
+        batch2 = s.next(7)
+        assert len(batch1) == 7 and len(batch2) == 7  # static shape across wrap
+        seen = np.concatenate([batch1, batch2[:3]])
+        assert sorted(seen) == list(range(10))  # first epoch covers everything
+
+
+class TestLoader:
+    def test_load_raw(self, scene):
+        root, gt = scene
+        loader = get_data_loader(make_configs(), root, "train")
+        raw = loader.load_data()
+        assert raw["nerf_data"]["images"].shape == (3, 24, 32, 3)
+        assert raw["nerf_data"]["extrinsics"].shape == (3, 4, 4)
+        assert len(raw["sparse_depth_data"]) == 3
+        np.testing.assert_array_equal(raw["frame_nums"], gt["train_frames"])
+
+
+class TestPreprocessor:
+    def test_cache_shapes_and_batch(self, scene):
+        root, _ = scene
+        cfgs = make_configs()
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        n_pix = 3 * 24 * 32
+        assert pp.cache["rays_o"].shape == (n_pix, 3)
+        assert pp.cache["rays_o_ndc"].shape == (n_pix, 3)
+        assert pp.cache["sparse_depth_values"].shape == (n_pix, 1)
+        assert pp.common["images"].shape == (3, 24, 32, 3)
+
+        indices, m_nerf, m_sd = pp.next_indices(0)
+        assert len(indices) == 64 + 32
+        assert m_nerf.sum() == 64 and m_sd.sum() == 32
+        batch = gather_batch(
+            pp.cache, pp.common, pp.batch_constants(),
+            jnp.asarray(indices), jnp.asarray(m_nerf), jnp.asarray(m_sd),
+        )
+        assert batch["rays_o"].shape == (96, 3)
+        assert batch["target_rgb"].shape == (96, 3)
+        assert batch["near_ndc"].shape == (96, 1)
+        # All sparse-depth rays must carry positive depth targets.
+        sd_depths = np.asarray(batch["sparse_depth_values"])[np.asarray(m_sd), 0]
+        assert np.all(sd_depths > 0)
+
+    def test_model_configs_digest_roundtrip(self, scene):
+        root, _ = scene
+        cfgs = make_configs()
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        mc = pp.get_model_configs()
+        for key in ("resolution", "translation_scale", "average_pose", "near", "far", "near_ndc"):
+            assert key in mc
+        # Test-mode preprocessor rebuilds rays from the digest alone.
+        test_pp = ScenePreprocessor(cfgs, "test", model_configs=mc)
+        pose = raw["nerf_data"]["extrinsics"][0]
+        batch = test_pp.create_test_data(pose)
+        assert batch["rays_o"].shape == (24 * 32, 3)
+        assert batch["rays_o_ndc"].shape == (24 * 32, 3)
+        # Rays from the digest match the train-time cache for the same frame.
+        np.testing.assert_allclose(
+            np.asarray(batch["rays_d"][0]), np.asarray(pp.cache["rays_d"][0]), atol=2e-3
+        )
+
+    def test_sparse_depth_matches_gt(self, scene):
+        """Rasterized sparse depth times 1/sc should recover GT z-depth ~1%."""
+        root, gt = scene
+        cfgs = make_configs()
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        sd = np.asarray(pp.cache["sparse_depth_values"])[:, 0]
+        valid = sd > 0
+        h, w = pp.resolution
+        gt_depth_flat = gt["depths"][gt["train_frames"]].reshape(-1)
+        rel = np.abs(sd[valid] / pp.sc - gt_depth_flat[valid]) / gt_depth_flat[valid]
+        assert np.median(rel) < 0.05
+
+    def test_validation_image_indices(self, scene):
+        root, gt = scene
+        cfgs = make_configs()
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        frame = int(gt["train_frames"][1])
+        indices, m_nerf, m_sd = pp.next_indices(0, image_num=frame)
+        assert len(indices) == 24 * 32
+        assert m_nerf.all() and not m_sd.any()
+        pix = np.asarray(pp.cache["pixel_id"])[indices]
+        assert (pix[:, 0] == 1).all()  # second train frame
+
+    def test_non_ndc_mode(self, scene):
+        root, _ = scene
+        cfgs = make_configs(ndc=False)
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        assert "rays_o_ndc" not in pp.cache
+        assert pp.near > 0 and pp.far > pp.near
