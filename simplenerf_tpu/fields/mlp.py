@@ -151,11 +151,14 @@ def apply(
     enc_pts = encoding.encode(pts, cfg.points_pe_degree)
     pts_in = enc_pts[..., : cfg.points_input_dim]
 
-    h = pts_in
+    # Trunk activations are stored at the compute dtype (bf16 halves the
+    # HBM traffic between layers); matmuls still accumulate in float32 and
+    # the output heads below stay float32.
+    h = pts_in.astype(dtype)
     for i, layer in enumerate(params["pts"]):
-        h = jax.nn.relu(_dense(h, layer, dtype))
+        h = jax.nn.relu(_dense(h, layer, dtype)).astype(dtype)
         if i in cfg.skip_layers:
-            h = jnp.concatenate([pts_in, h], axis=-1)
+            h = jnp.concatenate([pts_in.astype(dtype), h], axis=-1)
 
     pts_out = _dense(h, params["pts_out"], dtype)
     sigma = pts_out[..., :1]
@@ -170,15 +173,17 @@ def apply(
         out["rgb"] = rgb
 
     if cfg.view_dep_outputs:
-        feature = _dense(h, params["feature"], dtype)
+        feature = _dense(h, params["feature"], dtype).astype(dtype)
         # High-frequency PE channels excluded from the points net feed the
         # views branch instead (points-augmentation routing).
-        feature = jnp.concatenate([feature, enc_pts[..., cfg.points_input_dim :]], axis=-1)
+        feature = jnp.concatenate(
+            [feature, enc_pts[..., cfg.points_input_dim :].astype(dtype)], axis=-1
+        )
 
         def views_branch(dirs_enc: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
-            hv = jnp.concatenate([feat, dirs_enc], axis=-1)
+            hv = jnp.concatenate([feat, dirs_enc.astype(dtype)], axis=-1)
             for layer in params["views"]:
-                hv = jax.nn.relu(_dense(hv, layer, dtype))
+                hv = jax.nn.relu(_dense(hv, layer, dtype)).astype(dtype)
             return _dense(hv, params["views_out"], dtype)
 
         enc_views = (

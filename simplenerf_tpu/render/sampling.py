@@ -72,14 +72,24 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # Vectorized right-sided CDF inversion. A per-row searchsorted (binary
+    # search) serializes terribly on TPU; instead compare every sample
+    # against every CDF entry — (nr, m, s) elementwise on the VPU — and
+    # reduce. "below" = last bin with cdf <= u, "above" = first bin beyond;
+    # min/max-with-mask reads the bracketing values without any gather.
+    le = cdf[..., :, None] <= u[..., None, :]  # (nr, m, s)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    def last_true(vals):  # max over entries where le
+        return jnp.max(jnp.where(le, vals[..., :, None], -jnp.inf), axis=-2)
+
+    def first_false(vals):  # min over entries where ~le, clamped to the end
+        m = jnp.min(jnp.where(le, jnp.inf, vals[..., :, None]), axis=-2)
+        return jnp.minimum(m, vals[..., -1:])
+
+    cdf_below = jnp.maximum(last_true(cdf), cdf[..., :1])
+    cdf_above = first_false(cdf)
+    bins_below = jnp.maximum(last_true(bins), jnp.min(bins, axis=-1, keepdims=True))
+    bins_above = first_false(bins)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)

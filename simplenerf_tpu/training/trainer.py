@@ -86,7 +86,9 @@ class Trainer:
             self.opt_state = mesh_lib.replicate(self.mesh, self.opt_state)
 
         self.logger = TrainLogger(self.output_dir / "logs")
+        self.steps_per_call = int(configs.get("steps_per_call", 1))
         self._step = self._build_step()
+        self._multi_step = self._build_multi_step()
         self._eval_step = build_eval_renderer(self.render_cfg)
 
     # ------------------------------------------------------------------
@@ -111,6 +113,43 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _build_multi_step(self):
+        """K train steps under one lax.scan — one dispatch, no host round
+        trips between steps. The per-step RNG keys fold in the absolute
+        iteration number on device, matching the single-step path exactly."""
+        render_cfg = self.render_cfg
+        loss_computer = self.loss_computer
+        opt = self.opt
+        consts = self.train_pp.batch_constants()
+        base_key = self.base_key
+
+        def body(carry, xs, cache, common):
+            params, opt_state = carry
+            indices, mask_nerf, mask_sd, iter_num, weights = xs
+            key = jax.random.fold_in(base_key, iter_num)
+            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd)
+
+            def loss_fn(p):
+                outputs = renderer.render_rays(p, render_cfg, batch, key, train=True)
+                total, values = loss_computer.compute(batch, outputs, weights)
+                return total, values
+
+            (_, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), values
+
+        def multi_step(params, opt_state, cache, common, indices_k, mask_nerf_k, mask_sd_k,
+                       iter_nums_k, weights_k):
+            (params, opt_state), values = jax.lax.scan(
+                lambda c, xs: body(c, xs, cache, common),
+                (params, opt_state),
+                (indices_k, mask_nerf_k, mask_sd_k, iter_nums_k, weights_k),
+            )
+            return params, opt_state, values
+
+        return jax.jit(multi_step, donate_argnums=(0, 1))
+
     # ------------------------------------------------------------------
     def train_one_iter(self, iter_num: int):
         pp = self.train_pp
@@ -130,6 +169,43 @@ class Trainer:
         )
         return values
 
+    def train_many(self, start_iter: int, k: int):
+        """Run k fused steps in one device call (scan). Returns the last
+        step's loss values."""
+        pp = self.train_pp
+        draws = [pp.next_indices(start_iter + j) for j in range(k)]
+        indices_k = jnp.asarray(np.stack([d[0] for d in draws]))
+        mask_nerf_k = jnp.asarray(np.stack([d[1] for d in draws]))
+        mask_sd_k = jnp.asarray(np.stack([d[2] for d in draws]))
+        iter_nums_k = jnp.arange(start_iter, start_iter + k, dtype=jnp.uint32)
+        weights_k = jnp.asarray(
+            np.stack([self.loss_computer.weights_vector(start_iter + j) for j in range(k)])
+        )
+        if self.mesh is not None:
+            sharding = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, mesh_lib.RAY_AXIS))
+            indices_k, mask_nerf_k, mask_sd_k = (
+                jax.device_put(indices_k, sharding),
+                jax.device_put(mask_nerf_k, sharding),
+                jax.device_put(mask_sd_k, sharding),
+            )
+        self.params, self.opt_state, values = self._multi_step(
+            self.params, self.opt_state, pp.cache, pp.common,
+            indices_k, mask_nerf_k, mask_sd_k, iter_nums_k, weights_k,
+        )
+        return {key: v[-1] for key, v in values.items()}
+
+    def _next_boundary(self, it: int, num_iterations: int) -> int:
+        """Largest chunk from `it` that crosses no log/val/save boundary."""
+        nxt = num_iterations
+        for interval in (
+            self.configs.get("log_interval", 100),
+            self.configs.get("validation_interval", 0),
+            self.configs.get("model_save_interval", 10000),
+        ):
+            if interval:
+                nxt = min(nxt, ((it // interval) + 1) * interval)
+        return nxt
+
     def train(self, num_iterations: Optional[int] = None):
         num_iterations = num_iterations or self.configs["num_iterations"]
         val_interval = self.configs.get("validation_interval", 0)
@@ -138,22 +214,30 @@ class Trainer:
 
         values = {}
         t_last = time.time()
+        iters_since_log = 0
         rays_per_iter = self.train_pp.num_rays + getattr(self.train_pp, "num_rays_sparse_depth", 0)
-        for it in range(self.start_iter, num_iterations):
-            values = self.train_one_iter(it)
-            if (it + 1) % log_interval == 0 or it == self.start_iter:
+        it = self.start_iter
+        while it < num_iterations:
+            chunk = max(1, min(self.steps_per_call, self._next_boundary(it, num_iterations) - it))
+            if chunk == 1:
+                values = self.train_one_iter(it)
+            else:
+                values = self.train_many(it, chunk)
+            it += chunk
+            iters_since_log += chunk
+            if it % log_interval == 0 or it == num_iterations:
                 values = {k: float(v) for k, v in values.items()}
                 dt = time.time() - t_last
-                iters_done = log_interval if it != self.start_iter else 1
                 scalars = dict(values)
-                scalars["lr"] = float(self.lr_schedule(it))
-                scalars["rays_per_s"] = rays_per_iter * iters_done / max(dt, 1e-9)
-                self.logger.log_scalars(it + 1, scalars)
+                scalars["lr"] = float(self.lr_schedule(it - 1))
+                scalars["rays_per_s"] = rays_per_iter * iters_since_log / max(dt, 1e-9)
+                self.logger.log_scalars(it, scalars)
                 t_last = time.time()
-            if val_interval and (it + 1) % val_interval == 0:
-                self.run_validation(it + 1)
-            if (it + 1) % save_interval == 0 or (it + 1) == num_iterations:
-                self.save_checkpoint(it + 1)
+                iters_since_log = 0
+            if val_interval and it % val_interval == 0:
+                self.run_validation(it)
+            if it % save_interval == 0 or it == num_iterations:
+                self.save_checkpoint(it)
         return values
 
     # ------------------------------------------------------------------

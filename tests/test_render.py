@@ -54,7 +54,7 @@ class TestSamplePDF:
             z = sampling.fine_z_vals(None, z_coarse, w, 4, perturb=False)
             return jnp.sum(z)
 
-        g = jax.grad(f)(jnp.ones((2, 7)))
+        g = jax.grad(f)(jnp.ones((2, 8)))
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
 
 

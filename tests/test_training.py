@@ -121,3 +121,29 @@ class TestShardedTraining:
             jax.tree_util.tree_leaves(jax.device_get(t2.params)),
         ):
             np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestMultiStep:
+    def test_scan_steps_match_single_steps(self, scene, tmp_path):
+        """K scanned steps produce the same params as K single steps."""
+        root, _ = scene
+        t1, _, _ = build_trainer(root, tmp_path / "a", iters=8)
+        t2, _, _ = build_trainer(root, tmp_path / "b", iters=8)
+        for it in range(4):
+            t1.train_one_iter(it)
+        t2.train_many(0, 4)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(t1.params)),
+            jax.tree_util.tree_leaves(jax.device_get(t2.params)),
+        ):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_train_loop_with_steps_per_call(self, scene, tmp_path):
+        root, _ = scene
+        trainer, cfg, _ = build_trainer(root, tmp_path / "run", iters=60)
+        trainer.steps_per_call = 25
+        trainer.configs["log_interval"] = 50
+        trainer.configs["model_save_interval"] = 30
+        trainer.train()
+        assert (tmp_path / "run/saved_models/Model_Iter000060.msgpack").exists()
+        assert (tmp_path / "run/saved_models/Model_Iter000030.msgpack").exists()
