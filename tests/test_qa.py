@@ -1,0 +1,162 @@
+"""Tests for QA metrics, visibility masks, and the runner."""
+
+import json
+
+import numpy as np
+import pytest
+
+from simplenerf_tpu.data import io
+from simplenerf_tpu.qa import metrics as M
+from simplenerf_tpu.qa import masks as mask_lib
+from simplenerf_tpu.qa.runner import QARunner
+
+
+def checker(h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+class TestMetrics:
+    def test_psnr_known_value(self):
+        gt = np.zeros((8, 8, 3), np.uint8)
+        pred = np.full((8, 8, 3), 16, np.uint8)
+        np.testing.assert_allclose(M.psnr(gt, pred), 10 * np.log10(255**2 / 256), rtol=1e-6)
+        np.testing.assert_allclose(M.rmse(gt, pred), 16.0, rtol=1e-6)
+
+    def test_masked_equals_full_when_mask_all(self):
+        gt, pred = checker(seed=1), checker(seed=2)
+        mask = np.ones(gt.shape[:2], bool)
+        np.testing.assert_allclose(M.masked_psnr(gt, pred, mask), M.psnr(gt, pred), rtol=1e-9)
+        np.testing.assert_allclose(M.masked_rmse(gt, pred, mask), M.rmse(gt, pred), rtol=1e-9)
+
+    def test_masked_psnr_ignores_outside(self):
+        gt = checker(seed=3)
+        pred = gt.copy()
+        mask = np.zeros(gt.shape[:2], bool)
+        mask[:16] = True
+        pred[20:] = 0  # corrupt only masked-out rows
+        assert M.masked_psnr(gt, pred, mask) > 80
+
+    def test_ssim_properties(self):
+        # Structured image: gradients + stripes (SSIM on pure noise saturates).
+        y, x = np.mgrid[0:32, 0:48]
+        gt = np.stack([x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256], -1).astype(np.uint8)
+        assert M.ssim(gt, gt) > 0.999
+        noisy = np.clip(gt.astype(int) + np.random.default_rng(0).integers(-60, 60, gt.shape), 0, 255).astype(np.uint8)
+        mid = M.ssim(gt, noisy)
+        assert 0.05 < mid < 0.99
+        assert M.ssim(gt, 255 - gt) < mid
+
+    def test_masked_ssim_full_mask_close_to_ssim(self):
+        gt, pred = checker(seed=5), checker(seed=6)
+        mask = np.ones(gt.shape[:2], bool)
+        # masked version averages the uncropped map, so only approximately equal
+        assert abs(M.masked_ssim(gt, pred, mask) - M.ssim(gt, pred)) < 0.05
+
+    def test_depth_metrics(self):
+        gt = np.full((16, 16), 4.0)
+        pred = np.full((16, 16), 5.0)
+        np.testing.assert_allclose(M.depth_rmse(gt, pred), 1.0)
+        np.testing.assert_allclose(M.depth_mae(gt, pred), 0.25)  # scaled by median 4
+        rng = np.random.default_rng(0)
+        g = rng.uniform(1, 10, (16, 16))
+        assert M.depth_srocc(g, g * 3 + 1) > 0.999  # monotone map
+        mask = np.zeros((16, 16), bool)
+        mask[:8] = True
+        p = g.copy()
+        p[8:] = 100
+        assert M.masked_depth_rmse(g, p, mask) < 1e-9
+
+    def test_combine_visibility(self):
+        masks = np.array([[[1, 0, 1]], [[1, 0, 0]], [[0, 0, 1]]], dtype=bool)
+        out = M.combine_visibility_masks(masks)
+        np.testing.assert_array_equal(out, [[True, False, True]])
+
+
+class TestWarper:
+    def test_identity_warp_recovers_frame(self):
+        """Warping into the same camera reproduces the frame and depth."""
+        h, w = 24, 32
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        depth = rng.uniform(2, 5, (h, w))
+        K = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+        E = np.eye(4)
+        warped, mask, warped_depth = mask_lib.forward_warp(frame, depth, E, E, K)
+        assert mask.mean() > 0.95
+        np.testing.assert_allclose(warped[mask], frame.astype(float)[mask], atol=1.0)
+        np.testing.assert_allclose(warped_depth[mask], depth[mask], rtol=1e-3)
+
+    def test_translated_camera_shifts_content(self):
+        h, w = 24, 32
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[:, 10:14] = 255
+        depth = np.full((h, w), 4.0)
+        K = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]])
+        E1 = np.eye(4)
+        E2 = np.eye(4)
+        E2[0, 3] = 1.0  # w2c translation +x == camera moves -x => content shifts +x
+        warped, mask, _ = mask_lib.forward_warp(frame, depth, E1, E2, K)
+        col_mass = warped[..., 0].sum(axis=0)
+        # shift = fx * tx / z = 20/4 = 5 pixels
+        assert abs(int(np.argmax(col_mass)) - (11 + 5)) <= 2
+
+    def test_mask_computer_occlusion(self):
+        """Mismatched depths at the test view are marked invisible."""
+        h, w = 16, 16
+        frame = np.full((h, w, 3), 128, np.uint8)
+        depth_train = np.full((h, w), 4.0)
+        depth_test_good = np.full((h, w), 4.0)
+        depth_test_bad = np.full((h, w), 8.0)
+        K = np.array([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+        E = np.eye(4)
+        mc = mask_lib.MaskComputer(0.05)
+        good = mc.compute_mask(frame, depth_train, depth_test_good, E, E, K, K)
+        bad = mc.compute_mask(frame, depth_train, depth_test_bad, E, E, K, K)
+        assert good.mean() > 0.9
+        assert bad.mean() < 0.05
+
+
+class TestRunner:
+    @pytest.fixture
+    def fake_run(self, tmp_path):
+        """A tiny database + prediction dir with known errors."""
+        h, w = 24, 32
+        scene = "toy"
+        rng = np.random.default_rng(0)
+        db = tmp_path / "db"
+        pred = tmp_path / "pred"
+        gt_depth_dir = tmp_path / "gt_depth"
+        test_frames = [3, 4]
+        for f in test_frames:
+            gt = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            io.write_image(db / f"all/database_data/{scene}/rgb_down4/{f:04}.png", gt)
+            noisy = np.clip(gt.astype(int) + rng.integers(-10, 10, gt.shape), 0, 255).astype(np.uint8)
+            io.write_image(pred / scene / f"predicted_frames/{f:04}.png", noisy)
+            d = rng.uniform(2, 5, (h, w))
+            np.save(gt_depth_dir / scene / f"{f:04}.npy", d) if (gt_depth_dir / scene).mkdir(parents=True, exist_ok=True) is None else None
+            np.save(pred / scene / f"predicted_depths/{f:04}.npy", d * 1.02) if (pred / scene / "predicted_depths").mkdir(parents=True, exist_ok=True) is None else None
+        return db, pred, gt_depth_dir, scene, test_frames
+
+    def test_runner_end_to_end(self, fake_run):
+        db, pred, gt_depth_dir, scene, test_frames = fake_run
+        runner = QARunner(
+            db, pred, [scene], {scene: [0, 1]}, {scene: test_frames},
+            gt_depth_dirpath=gt_depth_dir,
+        )
+        scores = runner.run()
+        for key in ("RMSE", "PSNR", "SSIM", "DepthRMSE", "DepthMAE", "DepthSROCC"):
+            assert key in scores, key
+        assert scores["PSNR"] > 25  # small noise
+        assert scores["DepthSROCC"] > 0.99
+        assert (pred / "QA_Scores/PSNR_FrameWise.csv").exists()
+        assert (pred / "QA_Scores.json").exists()
+
+        # Incremental: a second run recomputes nothing and returns same values.
+        scores2 = QARunner(
+            db, pred, [scene], {scene: [0, 1]}, {scene: test_frames},
+            gt_depth_dirpath=gt_depth_dir,
+        ).run()
+        assert scores2 == scores
+        saved = json.loads((pred / "QA_Scores.json").read_text())
+        assert saved["PSNR"] == scores["PSNR"]
