@@ -1,0 +1,176 @@
+"""Full-pipeline test: driver-level train -> test -> QA -> videos on the
+synthetic scene, plus dataset tooling and prior-generator parsing."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simplenerf_tpu.data.synthetic import generate_scene
+from simplenerf_tpu.dataset_tools import splits, video_poses
+from simplenerf_tpu.drivers import runner
+from simplenerf_tpu.drivers.presets import tiny_synthetic_config
+from simplenerf_tpu.priors import colmap as colmap_lib
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("db")
+    gt = generate_scene(root, num_frames=5, h=24, w=32, num_train=3, seed=3)
+    return root, gt
+
+
+class TestDriverPipeline:
+    def test_train_test_videos_qa(self, scene, tmp_path):
+        root, gt = scene
+        train_configs = tiny_synthetic_config(num_iterations=200)
+        train_configs["train_num"] = 9
+        train_configs["data_loader"]["scene_names"] = ["blobs"]
+        out = tmp_path / "runs"
+
+        run_dir = runner.start_training(train_configs, root, out)
+        assert (run_dir / "Configs.json").exists()
+        assert (run_dir / "blobs/ModelConfigs.json").exists()
+        assert (run_dir / "blobs/saved_models/Model_Latest.msgpack").exists()
+
+        # GT depths for the depth metrics (the synthetic scene has real GT).
+        gt_depth_dir = tmp_path / "gt_depth"
+        for f in gt["test_frames"]:
+            (gt_depth_dir / "blobs").mkdir(parents=True, exist_ok=True)
+            np.save(gt_depth_dir / "blobs" / f"{f:04}.npy", gt["depths"][f])
+
+        test_configs = {
+            "test_num": 9, "train_num": 9, "scene_names": ["blobs"],
+        }
+        scores = runner.start_testing(
+            test_configs, root, out, gt_depth_dirpath=gt_depth_dir
+        )
+        test_dir = out / "testing/test0009"
+        for f in gt["test_frames"]:
+            assert (test_dir / f"blobs/predicted_frames/{f:04}.png").exists()
+            assert (test_dir / f"blobs/predicted_depths/{f:04}.npy").exists()
+        assert "PSNR" in scores and "SSIM" in scores and "DepthMAE" in scores
+        assert scores["PSNR"] > 12  # tiny model, but far better than random
+        assert (test_dir / "QA_Scores.json").exists()
+
+        # Depth scale: predicted depths are in the normalized frame. SROCC is
+        # scale-free and must be decent even for a tiny run.
+        assert scores["DepthSROCC"] > 0.5
+
+        # Videos: spiral poses then render.
+        mc = json.loads((run_dir / "blobs/ModelConfigs.json").read_text())
+        extr = gt["extrinsics"][gt["train_frames"]]
+        bounds = np.array(mc["bounds"]) / mc["translation_scale"]
+        poses = video_poses.create_spiral_video_poses(extr, bounds, num_frames=4)
+        video_poses.save_video_poses(root, "blobs", poses)
+        runner.start_testing_videos(test_configs, root, out)
+        video = test_dir / "blobs/PredictedVideo.mp4"
+        frames_dir = test_dir / "blobs/PredictedVideo"
+        assert video.exists() or any(frames_dir.glob("*.png"))
+
+        # Idempotency: re-running testing is a no-op that returns same scores.
+        scores2 = runner.start_testing(test_configs, root, out, gt_depth_dirpath=gt_depth_dir)
+        assert scores2 == scores
+
+
+class TestSplits:
+    def test_llff_split(self):
+        train, val, test = splits.llff_split(list(range(20)), 3)
+        assert list(test) == [0, 8, 16]
+        assert len(train) == 3
+        assert all(f not in test for f in train)
+        assert val[0] == 8
+
+    def test_sample_sparse(self):
+        sel = splits.sample_sparse_train_frames(list(range(17)), 4)
+        assert len(sel) == 4
+        assert sel[0] < 5 and sel[-1] > 12  # spread out
+
+    def test_realestate_split(self):
+        train, val, test = splits.realestate_split(50, 3)
+        assert list(train) == [0, 10, 20]
+        assert len(test) == 47
+
+
+class TestVideoPoses:
+    def test_spiral_pose_shapes_and_validity(self, scene):
+        root, gt = scene
+        extr = gt["extrinsics"][gt["train_frames"]]
+        bounds = np.array([2.0, 8.0])
+        poses = video_poses.create_spiral_video_poses(extr, bounds, num_frames=8)
+        assert poses.shape == (9, 4, 4)
+        # Valid rigid transforms: R orthonormal, det +1.
+        for p in poses:
+            r = p[:3, :3]
+            np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+            assert np.linalg.det(r) > 0.9
+        # Spiral cameras stay near the training cameras (same scene scale).
+        train_centers = np.stack([np.linalg.inv(e)[:3, 3] for e in extr])
+        spiral_centers = np.stack([np.linalg.inv(p)[:3, 3] for p in poses[1:]])
+        assert np.linalg.norm(spiral_centers.mean(0) - train_centers.mean(0)) < 2.0
+
+
+class TestColmapPriors:
+    def test_text_model_roundtrip_and_depth_math(self, tmp_path):
+        # Build a tiny synthetic COLMAP text model: two cameras, 3 points.
+        from scipy.spatial.transform import Rotation
+
+        w2c = np.eye(4)
+        w2c2 = np.eye(4)
+        w2c2[:3, 3] = [0.5, 0, 0]
+        depths = [3.0, 3.5, 4.0, 4.5, 5.0]
+        pts = np.array([[0.1 * i, -0.05 * i, d] for i, d in enumerate(depths)])
+
+        def img_line(iid, w2c, name, xys_ids):
+            q = colmap_lib.quaternion_wxyz(w2c[:3, :3])
+            obs = " ".join(f"{x} {y} {pid}" for (x, y), pid in xys_ids)
+            return (
+                f"{iid} {' '.join(map(str, q))} {' '.join(map(str, w2c[:3,3]))} 1 {name}\n{obs}\n"
+            )
+
+        # Both images observe all 5 points (x pixel = 10 + point index).
+        obs1 = [((10 + i, 12), i + 1) for i in range(5)]
+        obs2 = [((11 + i, 12), i + 1) for i in range(5)]
+        images_txt = tmp_path / "images.txt"
+        images_txt.write_text(
+            img_line(1, w2c, "0000.png", obs1) + img_line(2, w2c2, "0001.png", obs2)
+        )
+        points_txt = tmp_path / "points3D.txt"
+        lines = []
+        for pid, p in enumerate(pts, start=1):
+            lines.append(f"{pid} {p[0]} {p[1]} {p[2]} 200 200 200 {0.3 * pid} 1 {pid-1} 2 {pid-1}")
+        points_txt.write_text("\n".join(lines))
+
+        points = colmap_lib.read_points3d_txt(points_txt)
+        images = colmap_lib.read_images_txt(images_txt)
+        assert len(points) == 5 and len(images) == 2
+        np.testing.assert_allclose(images[1][1], w2c, atol=1e-9)
+
+        frames, bounds = colmap_lib.depths_and_weights(points, images)
+        df1 = frames[1]
+        # Percentile bounds drop the extreme two; interior points survive with
+        # exact z-depths (identity camera looks down +z in OpenCV convention).
+        assert abs(df1.loc[df1["x"] == 11.0, "depth"].item() - 3.5) < 1e-6
+        assert abs(df1.loc[df1["x"] == 13.0, "depth"].item() - 4.5) < 1e-6
+        assert (df1["weight"] > 0).all() and (df1["weight"] <= 2.0).all()
+        assert bounds.shape == (2, 2)
+
+    def test_workspace_writer(self, tmp_path):
+        est = colmap_lib.ColmapSparseDepthEstimator(tmp_path / "ws")
+        images = np.zeros((2, 8, 8, 3), np.uint8)
+        K = np.array([[10.0, 0, 4], [0, 10.0, 4], [0, 0, 1]])
+        est.prepare_workspace(images, np.stack([K, K]))
+        cam = (tmp_path / "ws/sparse/cameras.txt").read_text()
+        assert cam.startswith("1 FULL_OPENCV 8 8 10.0 10.0 4.0 4.0")
+        assert (tmp_path / "ws/images/0001.png").exists()
+        est.write_known_poses(np.stack([np.eye(4), np.eye(4)]), {"0000.png": 1, "0001.png": 2})
+        lines = (tmp_path / "ws/sparse/images.txt").read_text()
+        assert "0001.png" in lines
+
+    def test_colmap_missing_binary_raises(self, tmp_path):
+        if colmap_lib.colmap_available():
+            pytest.skip("colmap installed")
+        est = colmap_lib.ColmapSparseDepthEstimator(tmp_path / "ws")
+        with pytest.raises(RuntimeError, match="colmap binary not found"):
+            est.run_colmap(np.eye(4)[None], np.eye(3))
