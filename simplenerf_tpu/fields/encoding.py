@@ -35,3 +35,53 @@ def encode(x: jnp.ndarray, degree: int) -> jnp.ndarray:
         feats.append(jnp.sin(scaled))
         feats.append(jnp.cos(scaled))
     return jnp.concatenate(feats, axis=-1)
+
+
+def frequency_matrix(degree: int, input_dims: int = 3) -> jnp.ndarray:
+    """B (d, d*degree) with B[j, d*i + j] = 2^i: one matmul scales every
+    input dim by every frequency."""
+    b = jnp.zeros((input_dims, input_dims * degree), jnp.float32)
+    for i in range(degree):
+        for j in range(input_dims):
+            b = b.at[j, input_dims * i + j].set(2.0**i)
+    return b
+
+
+def encode_parts(x: jnp.ndarray, degree: int):
+    """(x, sin, cos) blocks, sin/cos shaped (..., 3*degree), frequency-major.
+
+    TPU-friendly PE: one (N, 3) x (3, 3*degree) matmul builds all scaled
+    coordinates, then a single sin and a single cos over a wide tensor —
+    instead of 2*degree transcendentals + a 2*degree+1-piece concatenate on
+    3-lane tensors. Semantically identical to `encode` up to the channel
+    permutation given by `blocked_to_reference_perm`.
+    """
+    if degree == 0:
+        return x, None, None
+    z = x @ frequency_matrix(degree, x.shape[-1]).astype(x.dtype)
+    return x, jnp.sin(z), jnp.cos(z)
+
+
+def blocked_to_reference_perm(degree: int, input_dims: int = 3):
+    """perm such that encode(x)[..., perm[k]] == blocked channel k, where the
+    blocked layout is [x | sin(f0..f_{D-1}) | cos(f0..f_{D-1})].
+
+    Used to re-slice weight ROWS initialized against the reference layout
+    [x | sin f0 | cos f0 | sin f1 | ...] so the fast blocked evaluation
+    computes exactly the same function.
+    """
+    d = input_dims
+    perm = list(range(d))
+    for i in range(degree):  # sin block
+        perm.extend(d + 2 * d * i + j for j in range(d))
+    for i in range(degree):  # cos block
+        perm.extend(d + 2 * d * i + d + j for j in range(d))
+    return perm
+
+
+def reference_slice_to_blocked(channels, degree: int, input_dims: int = 3):
+    """Map a list of reference-layout channel indices to positions in the
+    blocked layout (inverse lookup of blocked_to_reference_perm)."""
+    perm = blocked_to_reference_perm(degree, input_dims)
+    inverse = {ref: blocked for blocked, ref in enumerate(perm)}
+    return [inverse[c] for c in channels]

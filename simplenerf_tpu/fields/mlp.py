@@ -13,10 +13,22 @@ encoding and the remaining high-frequency channels are routed into the views
 branch, so geometry is smoothed but color keeps full detail
 (SimpleNeRF01.py:576-578,630-633).
 
-TPU notes: each apply is two chains of large [N, W] x [W, W] matmuls — at
-~0.8M points per render step these fill the MXU. `dtype` selects the matmul
-input precision (bfloat16 by default on TPU) with float32 accumulation via
-preferred_element_type; params stay float32.
+TPU design. `apply` evaluates the network in a lane-friendly "blocked" form:
+- the positional encoding is built from ONE (N,3)x(3,3D) matmul + one wide
+  sin + one wide cos (encoding.encode_parts), not 2D+1 concatenated 3-lane
+  pieces;
+- the skip and views-branch concatenations become sums of matmuls over
+  row-slices of the canonical weights, so no (N, 319)/(N, 325) concats are
+  materialized;
+- view directions are encoded once per RAY and tiled to samples
+  (view_dirs_tile), instead of encoding the same direction at all 192
+  samples.
+Parameters stay in the canonical reference channel layout — the blocked
+evaluation re-slices weight ROWS by static permutations, so `apply` and
+`apply_reference` compute the same function (tested to 1e-5).
+
+`dtype` selects matmul input precision (bfloat16 on TPU) with float32
+accumulation; trunk activations are stored at that dtype, heads in float32.
 """
 
 from __future__ import annotations
@@ -55,17 +67,25 @@ class MLPConfig:
         return encoding.out_dim(self.points_pe_degree)
 
     @property
+    def sigma_pe_degree(self) -> int:
+        return (
+            self.points_sigma_pe_degree
+            if self.points_sigma_pe_degree is not None
+            else self.points_pe_degree
+        )
+
+    @property
     def points_input_dim(self) -> int:
-        if self.points_sigma_pe_degree is not None:
-            return encoding.out_dim(self.points_sigma_pe_degree)
-        return self.full_points_dim
+        return encoding.out_dim(self.sigma_pe_degree)
+
+    @property
+    def extra_views_dim(self) -> int:
+        return self.full_points_dim - self.points_input_dim
 
     @property
     def views_input_dim(self) -> int:
         dim = encoding.out_dim(self.views_pe_degree) if self.use_view_dirs else 0
-        if self.points_sigma_pe_degree is not None:
-            dim += self.full_points_dim - self.points_input_dim
-        return dim
+        return dim + self.extra_views_dim
 
     @property
     def view_dep_outputs(self) -> bool:
@@ -103,7 +123,7 @@ def init(key, cfg: MLPConfig) -> Params:
     in_dim = cfg.points_input_dim
     for i in range(cfg.points_net_depth):
         pts_layers.append(_init_dense(next(keys), in_dim, cfg.points_net_width))
-        # Layer i+1 sees [h, encoded_pts] when layer i is a skip layer.
+        # Layer i+1 sees [encoded_pts, h] when layer i is a skip layer.
         in_dim = cfg.points_net_width + (cfg.points_input_dim if i in cfg.skip_layers else 0)
     params["pts"] = pts_layers
     params["pts_out"] = _init_dense(next(keys), cfg.points_net_width, cfg.points_output_dim)
@@ -128,6 +148,63 @@ def _dense(x: jnp.ndarray, p: dict, dtype) -> jnp.ndarray:
     )
 
 
+def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    return jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def _extra_rows_perm(cfg: MLPConfig) -> list[int]:
+    """Blocked order of the high-frequency channels within the reference's
+    enc_pts[:, P:] row segment of the first views-branch weight."""
+    ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+    p = cfg.points_input_dim
+    rows = [3 + 6 * i + j - p for i in range(ds, d) for j in range(3)]  # sin
+    rows += [3 + 6 * i + 3 + j - p for i in range(ds, d) for j in range(3)]  # cos
+    return rows
+
+
+def _finalize_heads(cfg, pts_out, h, params, enc_extra, enc_views, dtype,
+                    noise_std, noise_key, view_dirs_tile, out):
+    sigma = pts_out[..., :1]
+    if noise_std > 0.0 and noise_key is not None:
+        sigma = sigma + noise_std * jax.random.normal(noise_key, sigma.shape, sigma.dtype)
+    out["sigma"] = jax.nn.relu(sigma)
+
+    if not cfg.view_dependent_rgb:
+        rgb = jax.nn.sigmoid(pts_out[..., 1:4])
+        out["rgb_view_independent"] = rgb
+        out["rgb"] = rgb
+
+    if cfg.view_dep_outputs:
+        wp = cfg.points_net_width
+        e = cfg.extra_views_dim
+        wv0 = params["views"][0]
+        # Views join as matmul sum over canonical row slices: [feature rows,
+        # high-freq extra rows (re-permuted to blocked order), view-dir rows].
+        hv = _mm(_dense(h, params["feature"], dtype), wv0["w"][:wp], dtype)
+        if e:
+            hv = hv + _mm(enc_extra, wv0["w"][wp : wp + e][jnp.array(_extra_rows_perm(cfg))], dtype)
+        if cfg.use_view_dirs:
+            perm = jnp.array(encoding.blocked_to_reference_perm(cfg.views_pe_degree))
+            contrib = _mm(enc_views, wv0["w"][wp + e :][perm], dtype)
+            if view_dirs_tile > 1:
+                contrib = jnp.broadcast_to(
+                    contrib[:, None, :], (contrib.shape[0], view_dirs_tile, contrib.shape[-1])
+                ).reshape(-1, contrib.shape[-1])
+            hv = hv + contrib
+        hv = jax.nn.relu(hv + wv0["b"]).astype(dtype)
+        for layer in params["views"][1:]:
+            hv = jax.nn.relu(_dense(hv, layer, dtype)).astype(dtype)
+        views_out = _dense(hv, params["views_out"], dtype)
+        if cfg.view_dependent_rgb:
+            rgb = jax.nn.sigmoid(views_out[..., :3])
+            out["rgb_view_dependent"] = rgb
+            out["rgb"] = rgb
+        if cfg.predict_visibility:
+            ch = 3 if cfg.view_dependent_rgb else 0
+            out["visibility"] = jax.nn.sigmoid(views_out[..., ch : ch + 1])
+    return out
+
+
 def apply(
     params: Params,
     cfg: MLPConfig,
@@ -137,23 +214,87 @@ def apply(
     noise_std: float = 0.0,
     noise_key=None,
     dtype=jnp.float32,
+    view_dirs_tile: int = 1,
 ) -> dict:
-    """Evaluate the field at flat points.
+    """Evaluate the field at flat points (fast blocked path).
 
-    pts: (n, 3); view_dirs: (n, 3) or None; view_dirs2: (n, k, 3) secondary
-    view directions for expected-visibility prediction.
+    pts: (n, 3); view_dirs: (n, 3), or (n / view_dirs_tile, 3) when
+    view_dirs_tile > 1 (one direction per ray, tiled across samples).
+    Secondary-view visibility (view_dirs2) routes through apply_reference.
 
-    Returns dict with 'sigma' (n, 1), 'rgb' (n, 3), and optionally
-    'rgb_view_independent'/'rgb_view_dependent', 'visibility' (n, 1),
-    'visibility2' (n, k, 1) — the reference MLP.forward output contract
-    (SimpleNeRF01.py:626-654).
+    Returns dict with 'sigma' (n, 1), 'rgb' (n, 3) and the reference MLP
+    output contract (SimpleNeRF01.py:626-654).
+    """
+    if view_dirs2 is not None:
+        return apply_reference(
+            params, cfg, pts,
+            view_dirs=view_dirs, view_dirs2=view_dirs2,
+            noise_std=noise_std, noise_key=noise_key, dtype=dtype,
+        )
+
+    ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+    x, s, c = encoding.encode_parts(pts, d)
+    x = x.astype(dtype)
+    s = s.astype(dtype) if s is not None else None
+    c = c.astype(dtype) if c is not None else None
+    # Blocked low-frequency input [x | sin f<ds | cos f<ds].
+    if d == 0:
+        pts_in = x
+    else:
+        pts_in = jnp.concatenate([x, s[..., : 3 * ds], c[..., : 3 * ds]], axis=-1)
+    enc_extra = (
+        jnp.concatenate([s[..., 3 * ds :], c[..., 3 * ds :]], axis=-1)
+        if cfg.extra_views_dim
+        else None
+    )
+
+    w0_perm = jnp.array(encoding.blocked_to_reference_perm(ds))
+    layer0 = params["pts"][0]
+    h = jax.nn.relu(_mm(pts_in, layer0["w"][w0_perm], dtype) + layer0["b"]).astype(dtype)
+    for i, layer in enumerate(params["pts"][1:], start=1):
+        if (i - 1) in cfg.skip_layers:
+            # Skip join as matmul sum: encoded-points rows + hidden rows.
+            p = cfg.points_input_dim
+            pre = (
+                _mm(pts_in, layer["w"][:p][w0_perm], dtype)
+                + _mm(h, layer["w"][p:], dtype)
+                + layer["b"]
+            )
+        else:
+            pre = _dense(h, layer, dtype)
+        h = jax.nn.relu(pre).astype(dtype)
+
+    pts_out = _dense(h, params["pts_out"], dtype)
+
+    enc_views = None
+    if cfg.use_view_dirs and cfg.view_dep_outputs:
+        xv, sv, cv = encoding.encode_parts(view_dirs, cfg.views_pe_degree)
+        enc_views = jnp.concatenate([xv, sv, cv], axis=-1).astype(dtype)
+
+    return _finalize_heads(
+        cfg, pts_out, h, params, enc_extra, enc_views, dtype,
+        noise_std, noise_key, view_dirs_tile, {},
+    )
+
+
+def apply_reference(
+    params: Params,
+    cfg: MLPConfig,
+    pts: jnp.ndarray,
+    view_dirs: Optional[jnp.ndarray] = None,
+    view_dirs2: Optional[jnp.ndarray] = None,
+    noise_std: float = 0.0,
+    noise_key=None,
+    dtype=jnp.float32,
+) -> dict:
+    """Direct transcription of the reference forward (concat-based layout).
+
+    Used by the visibility2 path and as the equivalence oracle for `apply`.
+    view_dirs: (n, 3); view_dirs2: (n, k, 3).
     """
     enc_pts = encoding.encode(pts, cfg.points_pe_degree)
     pts_in = enc_pts[..., : cfg.points_input_dim]
 
-    # Trunk activations are stored at the compute dtype (bf16 halves the
-    # HBM traffic between layers); matmuls still accumulate in float32 and
-    # the output heads below stay float32.
     h = pts_in.astype(dtype)
     for i, layer in enumerate(params["pts"]):
         h = jax.nn.relu(_dense(h, layer, dtype)).astype(dtype)
@@ -202,7 +343,9 @@ def apply(
         if cfg.predict_visibility and view_dirs2 is not None:
             k = view_dirs2.shape[-2]
             enc_views2 = encoding.encode(view_dirs2, cfg.views_pe_degree)
-            feat2 = jnp.broadcast_to(feature[..., None, :], (*feature.shape[:-1], k, feature.shape[-1]))
+            feat2 = jnp.broadcast_to(
+                feature[..., None, :], (*feature.shape[:-1], k, feature.shape[-1])
+            )
             views_out2 = views_branch(enc_views2, feat2)
             ch2 = 3 if cfg.view_dependent_rgb else 0
             out["visibility2"] = jax.nn.sigmoid(views_out2[..., ch2 : ch2 + 1])

@@ -90,27 +90,32 @@ def _eval_mlp(
     noise_key,
     dtype,
 ) -> dict:
-    """Flatten (nr, ns, 3) points into one big batch, eval, reshape back."""
+    """Flatten (nr, ns, 3) points into one big batch, eval, reshape back.
+
+    View directions stay per-ray (nr, 3); the MLP encodes them once and
+    tiles the encoded contribution across samples (view_dirs_tile) — except
+    on the visibility2 path, which needs genuinely per-sample directions."""
     nr, ns = pts.shape[:2]
     flat_pts = pts.reshape(nr * ns, 3)
-    flat_dirs = None
-    if mcfg.use_view_dirs:
-        dirs = jnp.broadcast_to(view_dirs[:, None, :], pts.shape)
-        flat_dirs = dirs.reshape(nr * ns, 3)
-    flat_dirs2 = None
     if view_dirs2 is not None:
         k = view_dirs2.shape[-2]
-        flat_dirs2 = view_dirs2.reshape(nr * ns, k, 3)
-    raw = mlp_lib.apply(
-        params,
-        mcfg,
-        flat_pts,
-        view_dirs=flat_dirs,
-        view_dirs2=flat_dirs2,
-        noise_std=noise_std,
-        noise_key=noise_key,
-        dtype=dtype,
-    )
+        flat_dirs = None
+        if mcfg.use_view_dirs:
+            dirs = jnp.broadcast_to(view_dirs[:, None, :], pts.shape)
+            flat_dirs = dirs.reshape(nr * ns, 3)
+        raw = mlp_lib.apply(
+            params, mcfg, flat_pts,
+            view_dirs=flat_dirs,
+            view_dirs2=view_dirs2.reshape(nr * ns, k, 3),
+            noise_std=noise_std, noise_key=noise_key, dtype=dtype,
+        )
+    else:
+        raw = mlp_lib.apply(
+            params, mcfg, flat_pts,
+            view_dirs=view_dirs if mcfg.use_view_dirs else None,
+            noise_std=noise_std, noise_key=noise_key, dtype=dtype,
+            view_dirs_tile=ns,
+        )
     return {k: v.reshape(nr, ns, *v.shape[1:]) for k, v in raw.items()}
 
 

@@ -135,3 +135,52 @@ class TestMLP:
         f32 = mlp.apply(params, cfg, pts, view_dirs=dirs, dtype=jnp.float32)
         bf16 = mlp.apply(params, cfg, pts, view_dirs=dirs, dtype=jnp.bfloat16)
         np.testing.assert_allclose(np.asarray(f32["rgb"]), np.asarray(bf16["rgb"]), atol=0.05)
+
+
+class TestBlockedEquivalence:
+    """The fast blocked evaluation must equal the reference transcription."""
+
+    def cases(self):
+        return [
+            full_cfg(),
+            full_cfg(points_sigma_pe_degree=3),
+            full_cfg(use_view_dirs=False, view_dependent_rgb=False),
+            full_cfg(predict_visibility=True),
+            full_cfg(points_net_depth=6, skip_layers=(2, 4)),
+        ]
+
+    def test_apply_matches_reference(self):
+        for idx, cfg in enumerate(self.cases()):
+            params = mlp.init(jax.random.PRNGKey(idx), cfg)
+            pts = jax.random.normal(jax.random.PRNGKey(100 + idx), (64, 3))
+            dirs = jax.random.normal(jax.random.PRNGKey(200 + idx), (64, 3))
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+            fast = mlp.apply(params, cfg, pts, view_dirs=dirs)
+            ref = mlp.apply_reference(params, cfg, pts, view_dirs=dirs)
+            for key in ref:
+                np.testing.assert_allclose(
+                    np.asarray(fast[key]), np.asarray(ref[key]), atol=2e-5,
+                    err_msg=f"case {idx} key {key}",
+                )
+
+    def test_view_dirs_tile(self):
+        cfg = full_cfg(points_sigma_pe_degree=3)
+        params = mlp.init(jax.random.PRNGKey(0), cfg)
+        nr, ns = 8, 6
+        pts = jax.random.normal(jax.random.PRNGKey(1), (nr * ns, 3))
+        dirs_ray = jax.random.normal(jax.random.PRNGKey(2), (nr, 3))
+        dirs_ray = dirs_ray / jnp.linalg.norm(dirs_ray, axis=-1, keepdims=True)
+        dirs_full = jnp.broadcast_to(dirs_ray[:, None, :], (nr, ns, 3)).reshape(nr * ns, 3)
+        tiled = mlp.apply(params, cfg, pts, view_dirs=dirs_ray, view_dirs_tile=ns)
+        full = mlp.apply(params, cfg, pts, view_dirs=dirs_full)
+        np.testing.assert_allclose(np.asarray(tiled["rgb"]), np.asarray(full["rgb"]), atol=2e-5)
+
+    def test_encode_parts_permutation(self):
+        from simplenerf_tpu.fields import encoding as enc
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+        ref = enc.encode(x, 5)
+        xx, s, c = enc.encode_parts(x, 5)
+        blocked = jnp.concatenate([xx, s, c], axis=-1)
+        perm = enc.blocked_to_reference_perm(5)
+        np.testing.assert_allclose(np.asarray(ref[:, perm]), np.asarray(blocked), atol=1e-6)
