@@ -57,6 +57,7 @@ def render_config_from_dict(configs: dict, compute_dtype: Optional[str] = None) 
         raw_noise_std=float(model.get("raw_noise_std", 0.0)),
         white_bkgd=bool(model.get("white_bkgd", False)),
         compute_dtype=compute_dtype or model.get("compute_dtype", "float32"),
+        fused_mlp=model.get("fused_mlp", "auto"),
     )
 
 

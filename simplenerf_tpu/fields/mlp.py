@@ -277,6 +277,68 @@ def apply(
     )
 
 
+def apply_fused(
+    params: Params,
+    cfg: MLPConfig,
+    pts: jnp.ndarray,
+    view_dirs: Optional[jnp.ndarray] = None,
+    noise_std: float = 0.0,
+    noise_key=None,
+    dtype=jnp.float32,
+    view_dirs_tile: int = 1,
+) -> dict:
+    """Evaluate the field through the fully-fused Pallas kernel.
+
+    Same contract as `apply` (minus view_dirs2, which stays on the XLA
+    path): pts (n, 3); view_dirs (n / view_dirs_tile, 3). The kernel emits
+    raw head outputs; noise and activations are applied here so semantics
+    (incl. noise-before-ReLU sigma, SimpleNeRF01.py:668-672) are identical.
+    """
+    from simplenerf_tpu.ops import fused_mlp
+
+    n = pts.shape[0]
+    ns = view_dirs_tile if (cfg.use_view_dirs and cfg.view_dep_outputs) else 1
+    nr = n // ns
+    assert nr * ns == n, (n, ns)
+
+    spec = fused_mlp.make_spec(cfg, ns, dtype)
+    pad_rays = (-nr) % spec.tile_rays
+    pts_in = pts if pad_rays == 0 else jnp.pad(pts, ((0, pad_rays * ns), (0, 0)))
+
+    hvx = None
+    if spec.has_hvx:
+        xv, sv, cv = encoding.encode_parts(view_dirs, cfg.views_pe_degree)
+        enc_views = jnp.concatenate([xv, sv, cv], axis=-1)
+        hvx = _mm(enc_views, fused_mlp.dirs_w(params, cfg), dtype)
+        if pad_rays:
+            hvx = jnp.pad(hvx, ((0, pad_rays), (0, 0)))
+
+    kp = fused_mlp.kernel_params(params, cfg)
+    po, vo = fused_mlp.fused_apply(spec, kp, pts_in, hvx)
+    if pad_rays:
+        po = po[:n]
+        vo = vo[:n] if vo is not None else None
+
+    out: dict = {}
+    sigma = po[..., :1]
+    if noise_std > 0.0 and noise_key is not None:
+        sigma = sigma + noise_std * jax.random.normal(noise_key, sigma.shape, sigma.dtype)
+    out["sigma"] = jax.nn.relu(sigma)
+    if not cfg.view_dependent_rgb:
+        rgb = jax.nn.sigmoid(po[..., 1:4])
+        out["rgb_view_independent"] = rgb
+        out["rgb"] = rgb
+    if cfg.view_dep_outputs:
+        if cfg.view_dependent_rgb:
+            rgb = jax.nn.sigmoid(vo[..., :3])
+            out["rgb_view_dependent"] = rgb
+            out["rgb"] = rgb
+        if cfg.predict_visibility:
+            ch = 3 if cfg.view_dependent_rgb else 0
+            out["visibility"] = jax.nn.sigmoid(vo[..., ch : ch + 1])
+    return out
+
+
 def apply_reference(
     params: Params,
     cfg: MLPConfig,

@@ -44,6 +44,9 @@ class RenderConfig:
     white_bkgd: bool = False
     # Matmul input precision for the MLPs ("float32" | "bfloat16").
     compute_dtype: str = "float32"
+    # Fully-fused Pallas MLP kernel: "auto" (on for TPU backends, off on
+    # CPU), "on", or "off". The visibility2 path always uses the XLA MLP.
+    fused_mlp: str = "auto"
 
     @property
     def dtype(self):
@@ -89,6 +92,7 @@ def _eval_mlp(
     noise_std: float,
     noise_key,
     dtype,
+    use_fused: bool = False,
 ) -> dict:
     """Flatten (nr, ns, 3) points into one big batch, eval, reshape back.
 
@@ -110,7 +114,8 @@ def _eval_mlp(
             noise_std=noise_std, noise_key=noise_key, dtype=dtype,
         )
     else:
-        raw = mlp_lib.apply(
+        apply_fn = mlp_lib.apply_fused if use_fused else mlp_lib.apply
+        raw = apply_fn(
             params, mcfg, flat_pts,
             view_dirs=view_dirs if mcfg.use_view_dirs else None,
             noise_std=noise_std, noise_key=noise_key, dtype=dtype,
@@ -157,6 +162,9 @@ def _run_level(
     if mcfg.predict_visibility and sec_views_vis and "rays_o2" in rays:
         view_dirs2 = _other_view_dirs(cfg, z_vals, rays["rays_o"], rays["rays_d"], rays["rays_o2"])
 
+    use_fused = cfg.fused_mlp == "on" or (
+        cfg.fused_mlp == "auto" and jax.default_backend() != "cpu"
+    )
     net_out = _eval_mlp(
         params[model_name],
         mcfg,
@@ -166,6 +174,7 @@ def _run_level(
         cfg.raw_noise_std if train else 0.0,
         noise_key,
         cfg.dtype,
+        use_fused=use_fused,
     )
     vis2 = net_out["visibility2"][..., 0] if "visibility2" in net_out else None
     composited = volume.composite(

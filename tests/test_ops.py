@@ -1,0 +1,116 @@
+"""Fused Pallas MLP kernel vs the XLA blocked evaluation (interpret mode).
+
+`fields.mlp.apply` is itself tested equal to the reference transcription
+(test_fields.TestBlockedEquivalence), so matching it transitively matches
+the reference MLP (src/models/SimpleNeRF01.py:560-715).
+"""
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplenerf_tpu.fields import mlp
+
+
+def small_cfg(**kw):
+    base = dict(
+        points_net_depth=4,
+        views_net_depth=1,
+        points_net_width=64,
+        views_net_width=64,
+        points_pe_degree=10,
+        views_pe_degree=4,
+        use_view_dirs=True,
+        view_dependent_rgb=True,
+        skip_layers=(2,),
+    )
+    base.update(kw)
+    return mlp.MLPConfig(**base)
+
+
+CASES = {
+    "main": small_cfg(),
+    "points_aug": small_cfg(points_sigma_pe_degree=3),
+    "lambertian": small_cfg(use_view_dirs=False, view_dependent_rgb=False),
+    "visibility": small_cfg(predict_visibility=True),
+    "two_skips": small_cfg(points_net_depth=5, skip_layers=(1, 3)),
+}
+
+
+def _inputs(nr, ns, seed=0):
+    pts = jax.random.normal(jax.random.PRNGKey(seed), (nr * ns, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(seed + 1), (nr, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return pts, dirs
+
+
+class TestFusedMLP:
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_forward_matches_apply(self, name):
+        cfg = CASES[name]
+        params = mlp.init(jax.random.PRNGKey(3), cfg)
+        nr, ns = 6, 5  # forces ray padding (tile_rays > nr divisors)
+        pts, dirs = _inputs(nr, ns)
+        ref = mlp.apply(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+        fused = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+        assert set(fused) == set(ref)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(fused[k]), np.asarray(ref[k]), atol=3e-5, err_msg=f"{name}/{k}"
+            )
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_grads_match_apply(self, name):
+        cfg = CASES[name]
+        params = mlp.init(jax.random.PRNGKey(4), cfg)
+        pts, dirs = _inputs(4, 6, seed=10)
+
+        def loss(apply_fn, p):
+            o = apply_fn(p, cfg, pts, view_dirs=dirs, view_dirs_tile=6)
+            val = jnp.sum(o["rgb"] * 1.7) + jnp.sum(o["sigma"] * 0.3)
+            if "visibility" in o:
+                val = val + jnp.sum(o["visibility"])
+            return val
+
+        gr, _ = jax.flatten_util.ravel_pytree(jax.grad(lambda p: loss(mlp.apply, p))(params))
+        gf, _ = jax.flatten_util.ravel_pytree(
+            jax.grad(lambda p: loss(mlp.apply_fused, p))(params)
+        )
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, err_msg=name)
+
+    def test_per_point_dirs(self):
+        """view_dirs_tile=1: per-point directions, hvx grouping of 1."""
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(5), cfg)
+        n = 40
+        pts = jax.random.normal(jax.random.PRNGKey(6), (n, 3))
+        dirs = jax.random.normal(jax.random.PRNGKey(7), (n, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        ref = mlp.apply(params, cfg, pts, view_dirs=dirs)
+        fused = mlp.apply_fused(params, cfg, pts, view_dirs=dirs)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]), atol=3e-5)
+
+    def test_sigma_noise_applied(self):
+        """Noise goes into raw sigma pre-ReLU, keyed identically to apply."""
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(8), cfg)
+        pts, dirs = _inputs(4, 4, seed=20)
+        key = jax.random.PRNGKey(99)
+        ref = mlp.apply(params, cfg, pts, view_dirs=dirs, view_dirs_tile=4, noise_std=1.0, noise_key=key)
+        fused = mlp.apply_fused(
+            params, cfg, pts, view_dirs=dirs, view_dirs_tile=4, noise_std=1.0, noise_key=key
+        )
+        np.testing.assert_allclose(np.asarray(fused["sigma"]), np.asarray(ref["sigma"]), atol=3e-5)
+
+    def test_bf16_close_to_f32(self):
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(9), cfg)
+        pts, dirs = _inputs(4, 8, seed=30)
+        f32 = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=8)
+        bf16 = mlp.apply_fused(
+            params, cfg, pts, view_dirs=dirs, view_dirs_tile=8, dtype=jnp.bfloat16
+        )
+        np.testing.assert_allclose(np.asarray(f32["rgb"]), np.asarray(bf16["rgb"]), atol=0.05)
