@@ -29,7 +29,7 @@ from pathlib import Path
 
 # Persistent XLA compilation cache: compiles go through a slow remote
 # helper on this TPU setup (minutes per program); cached reruns are seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 PYTORCH_REFERENCE_RAYS_PER_S = 22000.0  # est., see module docstring
