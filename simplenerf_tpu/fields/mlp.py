@@ -277,6 +277,25 @@ def apply(
     )
 
 
+def to_planes(out: dict, nr: int, ns: int) -> dict:
+    """Flat (n, ch) MLP outputs -> the TPU plane layout.
+
+    {"sigma": (nr, ns), "rgb": (3, nr, ns), "visibility": (nr, ns),
+     "visibility2": (nr, ns, k)}. Planes keep samples on the 128-lane axis;
+    narrow (n, 1)/(n, 3) arrays tile to (8, 128) in HBM — a 128x physical
+    blow-up — so per-sample quantities never travel in that shape on TPU.
+    """
+    planes = {"sigma": out["sigma"].reshape(nr, ns)}
+    if "rgb" in out:
+        planes["rgb"] = out["rgb"].reshape(nr, ns, 3).transpose(2, 0, 1)
+    if "visibility" in out:
+        planes["visibility"] = out["visibility"].reshape(nr, ns)
+    if "visibility2" in out:
+        k = out["visibility2"].shape[-2]
+        planes["visibility2"] = out["visibility2"].reshape(nr, ns, k)
+    return planes
+
+
 def apply_fused(
     params: Params,
     cfg: MLPConfig,
@@ -289,15 +308,18 @@ def apply_fused(
 ) -> dict:
     """Evaluate the field through the fully-fused Pallas kernel.
 
-    Same contract as `apply` (minus view_dirs2, which stays on the XLA
-    path): pts (n, 3); view_dirs (n / view_dirs_tile, 3). The kernel emits
-    raw head outputs; noise and activations are applied here so semantics
-    (incl. noise-before-ReLU sigma, SimpleNeRF01.py:668-672) are identical.
+    Same function as `apply` (minus view_dirs2, which stays on the XLA
+    path) but returns the PLANE layout of `to_planes`: pts (n, 3) grouped
+    as nr = n / view_dirs_tile rays x ns = view_dirs_tile samples;
+    view_dirs (nr, 3). The kernel emits raw linear head planes; noise and
+    activations are applied here on wide (nr, ns) arrays so semantics
+    (incl. noise-before-ReLU sigma, SimpleNeRF01.py:668-672) are identical
+    to `to_planes(apply(...))`.
     """
     from simplenerf_tpu.ops import fused_mlp
 
     n = pts.shape[0]
-    ns = view_dirs_tile if (cfg.use_view_dirs and cfg.view_dep_outputs) else 1
+    ns = view_dirs_tile
     nr = n // ns
     assert nr * ns == n, (n, ns)
 
@@ -314,28 +336,24 @@ def apply_fused(
             hvx = jnp.pad(hvx, ((0, pad_rays), (0, 0)))
 
     kp = fused_mlp.kernel_params(params, cfg)
-    po, vo = fused_mlp.fused_apply(spec, kp, pts_in, hvx)
+    planes = fused_mlp.fused_apply(spec, kp, pts_in, hvx)
     if pad_rays:
-        po = po[:n]
-        vo = vo[:n] if vo is not None else None
+        planes = tuple(p[:nr] for p in planes)
 
     out: dict = {}
-    sigma = po[..., :1]
+    sigma = planes[0]
     if noise_std > 0.0 and noise_key is not None:
         sigma = sigma + noise_std * jax.random.normal(noise_key, sigma.shape, sigma.dtype)
     out["sigma"] = jax.nn.relu(sigma)
     if not cfg.view_dependent_rgb:
-        rgb = jax.nn.sigmoid(po[..., 1:4])
-        out["rgb_view_independent"] = rgb
-        out["rgb"] = rgb
+        out["rgb"] = jax.nn.sigmoid(jnp.stack(planes[1:4], axis=0))
     if cfg.view_dep_outputs:
+        vp = planes[spec.out_p :]
         if cfg.view_dependent_rgb:
-            rgb = jax.nn.sigmoid(vo[..., :3])
-            out["rgb_view_dependent"] = rgb
-            out["rgb"] = rgb
+            out["rgb"] = jax.nn.sigmoid(jnp.stack(vp[:3], axis=0))
         if cfg.predict_visibility:
             ch = 3 if cfg.view_dependent_rgb else 0
-            out["visibility"] = jax.nn.sigmoid(vo[..., ch : ch + 1])
+            out["visibility"] = jax.nn.sigmoid(vp[ch])
     return out
 
 

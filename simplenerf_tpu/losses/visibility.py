@@ -23,7 +23,7 @@ def make_visibility_loss():
         for level in ("coarse", "fine"):
             pred_key, target_key = f"raw_visibility_{level}", f"visibility_{level}"
             if pred_key in outputs and target_key in outputs:
-                pred = outputs[pred_key][..., 0]  # (nr, ns)
+                pred = outputs[pred_key]  # (nr, ns) plane
                 target = outputs[target_key]  # (nr, ns) transmittance
                 mae1 = jnp.mean(jnp.abs(pred - jax.lax.stop_gradient(target)))
                 mae2 = jnp.mean(jnp.abs(jax.lax.stop_gradient(pred) - target))

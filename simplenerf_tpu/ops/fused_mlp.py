@@ -5,26 +5,37 @@ src/NerfLlffTrainerTester01.py:257-267,273) each XLA layer round-trips its
 (N, 256) activation through HBM — ~0.8 GB of traffic per layer against only
 0.1 TFLOP of matmul, i.e. ~4x under the v5e memory roofline. This kernel
 evaluates positional encoding + trunk + heads for a tile of points entirely
-in VMEM: the only HBM traffic is the (N, 3) points in and the (N, <=4) head
-outputs, while every weight matrix (~1.3 MB bf16) stays resident across grid
-steps. The backward kernel recomputes activations per tile (VMEM-resident)
-and accumulates f32 dW across the sequential grid, so training needs no
-stashed (N, W) residuals at all.
+in VMEM: the only HBM traffic is the (N, 3) points in and the per-quantity
+output planes, while every weight matrix (~1.3 MB bf16) stays resident
+across grid steps. The backward kernel recomputes activations per tile
+(VMEM-resident) and accumulates f32 dW across the sequential grid, so
+training needs no stashed (N, W) residuals at all.
+
+TPU-first output layout: every head quantity (sigma, r, g, b, visibility)
+is emitted as its own **(num_rays, num_samples) plane** — the natural TPU
+shape (samples on the 128-lane axis). Narrow (N, 1)/(N, 3) arrays tile to
+(8, 128) in HBM, a 128x/42x physical blow-up that costs ~10 ms/step in
+epilogue+compositing traffic at the published shape (measured on v5e); the
+plane layout eliminates those arrays everywhere between the kernel and the
+per-ray compositing outputs. In-kernel, head channels are computed as VPU
+lane-reductions over the (tile_rays, ns, W) view of the trunk activation,
+so no (T, 1) column ever exists.
 
 Semantics match `fields.mlp.apply` (the blocked evaluation, itself verified
 against the reference transcription of src/models/SimpleNeRF01.py:560-715):
 
 - PE is computed in-kernel: z = pts @ B (one small matmul), one wide sin,
-  one wide cos, in the blocked [x | sin | cos] channel layout.
-- Weight matrices arrive pre-permuted to the blocked row order
-  (`kernel_params`), split by input source (x / sin / cos / hidden /
-  feature / extra-sin / extra-cos), so no concatenation is materialized.
+  one wide cos, assembled into the blocked [x | sin | cos] channel layout.
+- The trunk-input and skip joins are SINGLE matmuls against row-merged
+  weights (`kernel_params` pre-permutes rows to the blocked order), so no
+  concatenation with canonical-layout weights and no K=3/K=30 matmul salvo.
 - The per-ray view-direction contribution to the views branch is the ONLY
   piece left outside: `hv_extra = enc(view_dirs) @ Wv0_dirs` is an
   (num_rays, Wv) matmul — tiny — whose cotangent the backward kernel emits
   so autodiff reaches the dirs rows of the first views-branch weight.
-- Sigma noise / ReLU / sigmoids stay in the XLA epilogue (elementwise on
-  (N, 4); XLA fuses them into the consumers).
+- Sigma noise / ReLU / sigmoids stay in the XLA epilogue, now elementwise
+  on (num_rays, ns) planes (fully lane-utilized; XLA fuses them into the
+  consumers).
 
 No gradients are produced for the points themselves: sample positions are
 detached in the reference too (z-vals from stop-gradient importance
@@ -68,7 +79,7 @@ class FusedSpec:
     out_v: int  # views-head output channels (0, 3 or 4)
     has_extra: bool  # high-freq channels routed to views branch (ds < d)
     has_hvx: bool  # per-ray hv_extra input present (use_view_dirs)
-    ns: int  # samples per ray (hvx broadcast factor); 1 = per-point
+    ns: int  # samples per ray = plane lane width; 1 = per-point
     tile_rays: int  # rays per tile; tile rows T = tile_rays * ns
     dtype: str  # matmul input precision: "float32" | "bfloat16"
 
@@ -84,21 +95,35 @@ class FusedSpec:
     def has_views(self) -> bool:
         return self.views_depth > 0 or self.out_v > 0
 
+    @property
+    def in_lo(self) -> int:
+        """Trunk input channels: [x | sin f<ds | cos f<ds]."""
+        return 3 + 6 * self.sigma_pe_degree
+
+    @property
+    def in_hi(self) -> int:
+        """Views-branch extra channels: [sin f>=ds | cos f>=ds]."""
+        return 6 * (self.pe_degree - self.sigma_pe_degree) if self.has_extra else 0
+
+    @property
+    def n_planes(self) -> int:
+        return self.out_p + self.out_v
+
     def param_keys(self) -> list[str]:
         """Kernel parameter names, in kernel argument order."""
-        keys = ["w0x", "w0s", "w0c", "b0"]
+        keys = ["w0i", "b0"]
         for i in range(1, self.depth):
             keys += [f"w{i}", f"b{i}"]
             if (i - 1) in self.skip_layers:
-                keys += [f"w{i}x", f"w{i}s", f"w{i}c"]
-        keys += ["wpo", "bpo"]
+                keys += [f"w{i}i"]
+        keys += ["wpo_t", "bpo"]
         if self.has_views:
             keys += ["wf", "bf", "wv0f", "bv0"]
             if self.has_extra:
-                keys += ["wv0s", "wv0c"]
+                keys += ["wv0i"]
             for i in range(1, self.views_depth):
                 keys += [f"wv{i}", f"bv{i}"]
-            keys += ["wvo", "bvo"]
+            keys += ["wvo_t", "bvo"]
         return keys
 
 
@@ -107,10 +132,10 @@ def make_spec(cfg, ns: int, dtype) -> FusedSpec:
 
     ns is the hvx grouping: samples per ray when view dirs are per-ray,
     else 1. tile_rays gives ~1024-row tiles; callers pad the ray count up
-    to a multiple of it.
+    to a multiple of it. (tile_rays=8, T=1536 measured fastest for the
+    published fine shape on v5e; larger tiles gain nothing and risk VMEM.)
     """
-    # Mosaic block sublane constraint: per-ray blocks need >=8 rows. Tiles
-    # are ~1024 points (8 * ns when ns is large, e.g. 1536 rows at ns=192).
+    # Mosaic block sublane constraint: per-ray blocks need >=8 rows.
     target = max(8, 1024 // ns)
     tile_rays = 8
     while tile_rays * 2 <= target:
@@ -136,31 +161,30 @@ def make_spec(cfg, ns: int, dtype) -> FusedSpec:
 def kernel_params(params, cfg) -> dict:
     """Re-slice canonical (reference-layout) params into kernel layout.
 
-    Pure jnp gathers on weight ROWS — differentiable, so dW flows back to
-    the canonical pytree through the inverse scatter. The dirs rows of the
-    first views-branch weight are NOT included (see `hv_extra` / `dirs_w`).
+    Pure jnp gathers/transposes on weight ROWS — differentiable, so dW
+    flows back to the canonical pytree through the inverse scatter. Input
+    joins are row-merged to the blocked [x | sin | cos] order (single
+    matmul per join); head weights are transposed so the kernel reads
+    per-channel (1, W) rows. The dirs rows of the first views-branch weight
+    are NOT included (see `hv_extra` / `dirs_w`).
     """
-    ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+    ds = cfg.sigma_pe_degree
     p = cfg.points_input_dim
     perm_lo = np.asarray(encoding.blocked_to_reference_perm(ds))
 
-    def split_xsc(w):  # (P, W) blocked rows -> x / sin / cos parts
-        wb = w[perm_lo]
-        return wb[:3], wb[3 : 3 + 3 * ds], wb[3 + 3 * ds :]
-
     kp: dict = {}
     w0 = params["pts"][0]
-    kp["w0x"], kp["w0s"], kp["w0c"] = split_xsc(w0["w"])
+    kp["w0i"] = w0["w"][perm_lo]
     kp["b0"] = w0["b"][None]
     for i in range(1, cfg.points_net_depth):
         layer = params["pts"][i]
         if (i - 1) in cfg.skip_layers:
-            kp[f"w{i}x"], kp[f"w{i}s"], kp[f"w{i}c"] = split_xsc(layer["w"][:p])
+            kp[f"w{i}i"] = layer["w"][:p][perm_lo]
             kp[f"w{i}"] = layer["w"][p:]
         else:
             kp[f"w{i}"] = layer["w"]
         kp[f"b{i}"] = layer["b"][None]
-    kp["wpo"] = params["pts_out"]["w"]
+    kp["wpo_t"] = params["pts_out"]["w"].T
     kp["bpo"] = params["pts_out"]["b"][None]
 
     if cfg.view_dep_outputs:
@@ -173,13 +197,11 @@ def kernel_params(params, cfg) -> dict:
         if e:
             from simplenerf_tpu.fields.mlp import _extra_rows_perm
 
-            wx = wv0["w"][wp : wp + e][np.asarray(_extra_rows_perm(cfg))]
-            half = 3 * (d - ds)
-            kp["wv0s"], kp["wv0c"] = wx[:half], wx[half:]
+            kp["wv0i"] = wv0["w"][wp : wp + e][np.asarray(_extra_rows_perm(cfg))]
         for i in range(1, cfg.views_net_depth):
             kp[f"wv{i}"] = params["views"][i]["w"]
             kp[f"bv{i}"] = params["views"][i]["b"][None]
-        kp["wvo"] = params["views_out"]["w"]
+        kp["wvo_t"] = params["views_out"]["w"].T
         kp["bvo"] = params["views_out"]["b"][None]
     return kp
 
@@ -200,16 +222,27 @@ def _freq_matrix(degree: int):
 
 
 def _encode_tile(spec: FusedSpec, pts32):
-    """In-kernel blocked PE: x, sin, cos at full degree d (f32 in, cdtype out)."""
-    d = spec.pe_degree
+    """In-kernel blocked PE.
+
+    Returns (xsc_lo (T, 3+6ds) trunk input, sc_hi (T, 6(d-ds)) | None
+    views-branch extra), both in cdtype.
+    """
+    d, ds = spec.pe_degree, spec.sigma_pe_degree
+    x = pts32.astype(spec.cdtype)
     if d == 0:
-        return pts32.astype(spec.cdtype), None, None
+        return x, None
     z = jnp.dot(pts32, _freq_matrix(d), preferred_element_type=jnp.float32)
-    return (
-        pts32.astype(spec.cdtype),
-        jnp.sin(z).astype(spec.cdtype),
-        jnp.cos(z).astype(spec.cdtype),
+    s = jnp.sin(z)
+    c = jnp.cos(z)
+    lo = jnp.concatenate(
+        [x, s[:, : 3 * ds].astype(spec.cdtype), c[:, : 3 * ds].astype(spec.cdtype)], axis=-1
     )
+    hi = None
+    if spec.has_extra:
+        hi = jnp.concatenate(
+            [s[:, 3 * ds :].astype(spec.cdtype), c[:, 3 * ds :].astype(spec.cdtype)], axis=-1
+        )
+    return lo, hi
 
 
 def _mm(a, b, spec):
@@ -241,44 +274,32 @@ def _mm_nt(a, b, spec):
     )
 
 
-def _trunk_forward(spec: FusedSpec, kp: dict, x, s, c):
+def _trunk_forward(spec: FusedSpec, kp: dict, lo):
     """Shared trunk: returns list of post-ReLU activations h_0..h_{D-1}."""
-    ds = spec.sigma_pe_degree
-    s_lo = s[:, : 3 * ds] if s is not None else None
-    c_lo = c[:, : 3 * ds] if c is not None else None
-
-    def in_join(wx_key, ws_key, wc_key):
-        acc = _mm(x, kp[wx_key], spec)
-        if s_lo is not None and s_lo.shape[-1]:
-            acc = acc + _mm(s_lo, kp[ws_key], spec) + _mm(c_lo, kp[wc_key], spec)
-        return acc
-
     hs = []
-    h = jax.nn.relu(in_join("w0x", "w0s", "w0c") + kp["b0"]).astype(spec.cdtype)
+    h = jax.nn.relu(_mm(lo, kp["w0i"], spec) + kp["b0"]).astype(spec.cdtype)
     hs.append(h)
     for i in range(1, spec.depth):
         acc = _mm(h, kp[f"w{i}"], spec)
         if (i - 1) in spec.skip_layers:
-            acc = acc + in_join(f"w{i}x", f"w{i}s", f"w{i}c")
+            acc = acc + _mm(lo, kp[f"w{i}i"], spec)
         h = jax.nn.relu(acc + kp[f"b{i}"]).astype(spec.cdtype)
         hs.append(h)
     return hs
 
 
-def _views_forward(spec: FusedSpec, kp: dict, h, s, c, hvx_tile):
-    """Views branch: returns (feature, [hv_0..], views_out)."""
-    ds, d = spec.sigma_pe_degree, spec.pe_degree
+def _views_forward(spec: FusedSpec, kp: dict, h, hi, hvx_tile):
+    """Views branch: returns (feature, [hv_0..])."""
     f = (_mm(h, kp["wf"], spec) + kp["bf"]).astype(spec.cdtype)
     acc = _mm(f, kp["wv0f"], spec) + kp["bv0"]
     if spec.has_extra:
-        acc = acc + _mm(s[:, 3 * ds :], kp["wv0s"], spec) + _mm(c[:, 3 * ds :], kp["wv0c"], spec)
+        acc = acc + _mm(hi, kp["wv0i"], spec)
     if hvx_tile is not None:
         acc = acc + hvx_tile
     hvs = [jax.nn.relu(acc).astype(spec.cdtype)]
     for i in range(1, spec.views_depth):
         hvs.append(jax.nn.relu(_mm(hvs[-1], kp[f"wv{i}"], spec) + kp[f"bv{i}"]).astype(spec.cdtype))
-    vo = _mm(hvs[-1], kp["wvo"], spec) + kp["bvo"]
-    return f, hvs, vo
+    return f, hvs
 
 
 def _hvx_broadcast(spec: FusedSpec, hvx):
@@ -287,6 +308,41 @@ def _hvx_broadcast(spec: FusedSpec, hvx):
         return hvx
     r, wv = hvx.shape
     return jnp.broadcast_to(hvx[:, None, :], (r, spec.ns, wv)).reshape(r * spec.ns, wv)
+
+
+def _head_planes(spec: FusedSpec, h, wt, b, n_out):
+    """Head channels as (tile_rays, ns) planes via VPU lane-reduction.
+
+    h (T, W); wt (n_out, W) transposed head weight; b (1, n_out). Channel j:
+    plane_j[r, s] = sum_k h3[r, s, k] * wt[j, k] + b[j] — no (T, 1) column
+    and no N=1 matmul is ever formed.
+    """
+    h3 = h.reshape(spec.tile_rays, spec.ns, -1).astype(jnp.float32)
+    planes = []
+    for j in range(n_out):
+        w_row = wt[j : j + 1, :].reshape(1, 1, -1).astype(jnp.float32)
+        plane = jnp.sum(h3 * w_row, axis=-1) + b[0:1, j : j + 1]
+        planes.append(plane)
+    return planes
+
+
+def _head_backward(spec: FusedSpec, h, wt, d_planes):
+    """VJP of `_head_planes`: (dh (T, W) f32, dwt (n_out, W) f32, db (1, n_out) f32)."""
+    tr, ns = spec.tile_rays, spec.ns
+    h3 = h.reshape(tr, ns, -1).astype(jnp.float32)
+    dh3 = jnp.zeros_like(h3)
+    dwt_rows = []
+    db_cols = []
+    for j, dp in enumerate(d_planes):
+        dp3 = dp.reshape(tr, ns, 1)
+        w_row = wt[j : j + 1, :].reshape(1, 1, -1).astype(jnp.float32)
+        dh3 = dh3 + dp3 * w_row
+        dwt_rows.append(jnp.sum(h3 * dp3, axis=(0, 1), keepdims=False).reshape(1, -1))
+        db_cols.append(jnp.sum(dp).reshape(1, 1))
+    dh = dh3.reshape(tr * ns, -1)
+    dwt = jnp.concatenate(dwt_rows, axis=0)
+    db = jnp.concatenate(db_cols, axis=1)
+    return dh, dwt, db
 
 
 def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
@@ -301,13 +357,17 @@ def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
         out_refs = refs[1 + nkp :]
     kp = {k: r[:] for k, r in zip(spec.param_keys(), kp_refs)}
 
-    x, s, c = _encode_tile(spec, pts_ref[:])
-    hs = _trunk_forward(spec, kp, x, s, c)
-    out_refs[0][:] = _mm(hs[-1], kp["wpo"], spec) + kp["bpo"]
+    lo, hi = _encode_tile(spec, pts_ref[:])
+    hs = _trunk_forward(spec, kp, lo)
+    p_planes = _head_planes(spec, hs[-1], kp["wpo_t"], kp["bpo"], spec.out_p)
+    for j in range(spec.out_p):
+        out_refs[j][:] = p_planes[j]
     if spec.has_views:
         hvx = _hvx_broadcast(spec, hvx_ref[:]) if hvx_ref is not None else None
-        _, _, vo = _views_forward(spec, kp, hs[-1], s, c, hvx)
-        out_refs[1][:] = vo
+        _, hvs = _views_forward(spec, kp, hs[-1], hi, hvx)
+        v_planes = _head_planes(spec, hvs[-1], kp["wvo_t"], kp["bvo"], spec.out_v)
+        for j in range(spec.out_v):
+            out_refs[spec.out_p + j][:] = v_planes[j]
 
 
 def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
@@ -320,12 +380,8 @@ def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
         pos += 1
     kp_refs = refs[pos : pos + nkp]
     pos += nkp
-    dpo_ref = refs[pos]
-    pos += 1
-    dvo_ref = None
-    if spec.has_views:
-        dvo_ref = refs[pos]
-        pos += 1
+    dplane_refs = refs[pos : pos + spec.n_planes]
+    pos += spec.n_planes
     out_refs = list(refs[pos:])
     kp = {k: r[:] for k, r in zip(spec.param_keys(), kp_refs)}
 
@@ -335,21 +391,19 @@ def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
         grads[key] = grads.get(key, 0.0) + val
 
     # --- recompute forward (activations stay in VMEM) ---
-    x, s, c = _encode_tile(spec, pts_ref[:])
-    ds = spec.sigma_pe_degree
-    s_lo = s[:, : 3 * ds] if s is not None else None
-    c_lo = c[:, : 3 * ds] if c is not None else None
-    hs = _trunk_forward(spec, kp, x, s, c)
+    lo, hi = _encode_tile(spec, pts_ref[:])
+    hs = _trunk_forward(spec, kp, lo)
 
     dh = None  # cotangent flowing into hs[-1] (f32)
 
     if spec.has_views:
         hvx = _hvx_broadcast(spec, hvx_ref[:]) if hvx_ref is not None else None
-        f, hvs, _ = _views_forward(spec, kp, hs[-1], s, c, hvx)
-        g = dvo_ref[:]  # (T, out_v) f32
-        acc_grad("wvo", _mm_tn(hvs[-1], g, spec))
-        acc_grad("bvo", jnp.sum(g, axis=0, keepdims=True))
-        g = _mm_nt(g, kp["wvo"], spec) * _relu_mask(hvs[-1])
+        f, hvs = _views_forward(spec, kp, hs[-1], hi, hvx)
+        d_v_planes = [dplane_refs[spec.out_p + j][:] for j in range(spec.out_v)]
+        g, dwvo_t, dbvo = _head_backward(spec, hvs[-1], kp["wvo_t"], d_v_planes)
+        acc_grad("wvo_t", dwvo_t)
+        acc_grad("bvo", dbvo)
+        g = g * _relu_mask(hvs[-1])
         for i in range(spec.views_depth - 1, 0, -1):
             acc_grad(f"wv{i}", _mm_tn(hvs[i - 1], g, spec))
             acc_grad(f"bv{i}", jnp.sum(g, axis=0, keepdims=True))
@@ -361,34 +415,27 @@ def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
         acc_grad("bv0", jnp.sum(g, axis=0, keepdims=True))
         acc_grad("wv0f", _mm_tn(f, g, spec))
         if spec.has_extra:
-            acc_grad("wv0s", _mm_tn(s[:, 3 * ds :], g, spec))
-            acc_grad("wv0c", _mm_tn(c[:, 3 * ds :], g, spec))
+            acc_grad("wv0i", _mm_tn(hi, g, spec))
         df = _mm_nt(g, kp["wv0f"], spec)
         acc_grad("wf", _mm_tn(hs[-1], df, spec))
         acc_grad("bf", jnp.sum(df, axis=0, keepdims=True))
         dh = _mm_nt(df, kp["wf"], spec)
 
-    gpo = dpo_ref[:]
-    acc_grad("wpo", _mm_tn(hs[-1], gpo, spec))
-    acc_grad("bpo", jnp.sum(gpo, axis=0, keepdims=True))
-    dpo_h = _mm_nt(gpo, kp["wpo"], spec)
+    d_p_planes = [dplane_refs[j][:] for j in range(spec.out_p)]
+    dpo_h, dwpo_t, dbpo = _head_backward(spec, hs[-1], kp["wpo_t"], d_p_planes)
+    acc_grad("wpo_t", dwpo_t)
+    acc_grad("bpo", dbpo)
     dh = dpo_h if dh is None else dh + dpo_h
-
-    def in_join_grads(g, wx_key, ws_key, wc_key):
-        acc_grad(wx_key, _mm_tn(x, g, spec))
-        if s_lo is not None and s_lo.shape[-1]:
-            acc_grad(ws_key, _mm_tn(s_lo, g, spec))
-            acc_grad(wc_key, _mm_tn(c_lo, g, spec))
 
     for i in range(spec.depth - 1, 0, -1):
         g = dh * _relu_mask(hs[i])
         acc_grad(f"w{i}", _mm_tn(hs[i - 1], g, spec))
         acc_grad(f"b{i}", jnp.sum(g, axis=0, keepdims=True))
         if (i - 1) in spec.skip_layers:
-            in_join_grads(g, f"w{i}x", f"w{i}s", f"w{i}c")
+            acc_grad(f"w{i}i", _mm_tn(lo, g, spec))
         dh = _mm_nt(g, kp[f"w{i}"], spec)
     g = dh * _relu_mask(hs[0])
-    in_join_grads(g, "w0x", "w0s", "w0c")
+    acc_grad("w0i", _mm_tn(lo, g, spec))
     acc_grad("b0", jnp.sum(g, axis=0, keepdims=True))
 
     # --- write accumulated grads (sequential grid revisits block 0) ---
@@ -420,13 +467,18 @@ def _row_spec(block_rows, cols):
     return pl.BlockSpec((block_rows, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
+def _plane_spec(spec: FusedSpec):
+    return pl.BlockSpec((spec.tile_rays, spec.ns), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_apply(spec: FusedSpec, kp: dict, pts: jnp.ndarray, hvx: Optional[jnp.ndarray]):
-    """Fused field evaluation: (pts_out_raw (N, out_p), views_out_raw | None).
+    """Fused field evaluation -> tuple of `spec.n_planes` output planes.
 
     pts: (N, 3) f32 with N % spec.tile == 0; hvx: (N // ns, Wv) f32 per-ray
     views-branch addend (enc dirs @ dirs rows), required iff spec.has_hvx.
-    Raw linear head outputs — noise/activations are the caller's epilogue.
+    Returns (N // ns, ns) f32 planes, points-head channels first — raw
+    linear head outputs; noise/activations are the caller's epilogue.
     """
     return _fused_fwd_call(spec, kp, pts, hvx)
 
@@ -435,6 +487,7 @@ def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
     n = pts.shape[0]
     t = spec.tile
     assert n % t == 0, (n, t)
+    nr = n // spec.ns
     grid = n // t
     keys = spec.param_keys()
     nkp = len(keys)
@@ -447,11 +500,8 @@ def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
     in_specs += [_weight_spec()] * nkp
     inputs += [kp[k] for k in keys]
 
-    out_shape = [jax.ShapeDtypeStruct((n, spec.out_p), jnp.float32)]
-    out_specs = [_row_spec(t, spec.out_p)]
-    if spec.has_views:
-        out_shape.append(jax.ShapeDtypeStruct((n, spec.out_v), jnp.float32))
-        out_specs.append(_row_spec(t, spec.out_v))
+    out_shape = [jax.ShapeDtypeStruct((nr, spec.ns), jnp.float32)] * spec.n_planes
+    out_specs = [_plane_spec(spec)] * spec.n_planes
 
     flops_trunk = 2 * n * spec.width * (spec.width * (spec.depth - 1) + 6 * spec.pe_degree + 3)
     outs = pl.pallas_call(
@@ -468,9 +518,7 @@ def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
             flops=flops_trunk, bytes_accessed=n * 32, transcendentals=n * 6 * spec.pe_degree
         ),
     )(*inputs)
-    po = outs[0]
-    vo = outs[1] if spec.has_views else None
-    return po, vo
+    return tuple(outs)
 
 
 def _fused_fwd(spec, kp, pts, hvx):
@@ -480,7 +528,7 @@ def _fused_fwd(spec, kp, pts, hvx):
 
 def _fused_bwd(spec, residuals, cotangents):
     kp, pts, hvx = residuals
-    dpo, dvo = cotangents
+    d_planes = cotangents
     n = pts.shape[0]
     t = spec.tile
     grid = n // t
@@ -494,11 +542,8 @@ def _fused_bwd(spec, residuals, cotangents):
         inputs.append(hvx)
     in_specs += [_weight_spec()] * nkp
     inputs += [kp[k] for k in keys]
-    in_specs.append(_row_spec(t, spec.out_p))
-    inputs.append(dpo)
-    if spec.has_views:
-        in_specs.append(_row_spec(t, spec.out_v))
-        inputs.append(dvo)
+    in_specs += [_plane_spec(spec)] * spec.n_planes
+    inputs += list(d_planes)
 
     out_shape = [jax.ShapeDtypeStruct(kp[k].shape, jnp.float32) for k in keys]
     out_specs = [_weight_spec() for _ in keys]

@@ -94,7 +94,12 @@ def _eval_mlp(
     dtype,
     use_fused: bool = False,
 ) -> dict:
-    """Flatten (nr, ns, 3) points into one big batch, eval, reshape back.
+    """Flatten (nr, ns, 3) points into one big batch, eval, return PLANES.
+
+    Output is the TPU plane layout (`mlp.to_planes`): sigma (nr, ns), rgb
+    (3, nr, ns), visibility (nr, ns), visibility2 (nr, ns, k) — per-sample
+    quantities keep samples on the lane axis so no narrow arrays travel
+    between the MLP and the compositor.
 
     View directions stay per-ray (nr, 3); the MLP encodes them once and
     tiles the encoded contribution across samples (view_dirs_tile) — except
@@ -113,15 +118,21 @@ def _eval_mlp(
             view_dirs2=view_dirs2.reshape(nr * ns, k, 3),
             noise_std=noise_std, noise_key=noise_key, dtype=dtype,
         )
-    else:
-        apply_fn = mlp_lib.apply_fused if use_fused else mlp_lib.apply
-        raw = apply_fn(
+        return mlp_lib.to_planes(raw, nr, ns)
+    if use_fused:
+        return mlp_lib.apply_fused(
             params, mcfg, flat_pts,
             view_dirs=view_dirs if mcfg.use_view_dirs else None,
             noise_std=noise_std, noise_key=noise_key, dtype=dtype,
             view_dirs_tile=ns,
         )
-    return {k: v.reshape(nr, ns, *v.shape[1:]) for k, v in raw.items()}
+    raw = mlp_lib.apply(
+        params, mcfg, flat_pts,
+        view_dirs=view_dirs if mcfg.use_view_dirs else None,
+        noise_std=noise_std, noise_key=noise_key, dtype=dtype,
+        view_dirs_tile=ns,
+    )
+    return mlp_lib.to_planes(raw, nr, ns)
 
 
 def _other_view_dirs(cfg: RenderConfig, z_vals, rays_o, rays_d, rays_o2) -> jnp.ndarray:
@@ -176,9 +187,9 @@ def _run_level(
         cfg.dtype,
         use_fused=use_fused,
     )
-    vis2 = net_out["visibility2"][..., 0] if "visibility2" in net_out else None
+    vis2 = net_out.get("visibility2")
     composited = volume.composite(
-        net_out["sigma"][..., 0],
+        net_out["sigma"],
         net_out["rgb"],
         z_vals,
         rays[d_key],
@@ -225,8 +236,13 @@ def render_rays(
         for k, v in composited.items():
             out[f"{prefix}{k}_{level}"] = v
         if retraw:
+            # Per-sample MLP outputs: sigma/visibility as (nr, ns) planes,
+            # rgb back to (nr, ns, 3) for the reference contract (unused
+            # raw keys are dead code XLA removes from the train step).
             for k, v in net_out.items():
-                out[f"{prefix}raw_{k}_{level}"] = v
+                out[f"{prefix}raw_{k}_{level}"] = (
+                    v.transpose(1, 2, 0) if k == "rgb" else v
+                )
 
     weights_coarse = None
     z_coarse = None

@@ -39,14 +39,17 @@ def composite(
 ) -> dict:
     """Composite per-sample sigma/rgb into per-ray outputs.
 
-    sigma: (nr, ns); rgb: (nr, ns, 3); z_vals: (nr, ns) in the sampling space
-    (NDC space when ndc=True); rays_d: (nr, 3) in the same space (its norm
+    sigma: (nr, ns); rgb: (3, nr, ns) channel PLANES (samples on the lane
+    axis — narrow (nr, ns, 3) arrays lane-pad 42x on TPU, see
+    fields.mlp.to_planes); z_vals: (nr, ns) in the sampling space (NDC
+    space when ndc=True); rays_d: (nr, 3) in the same space (its norm
     scales the z deltas). For NDC runs, rays_o_world/rays_d_world are the
     unprojected rays used to convert NDC z to metric depth.
 
-    Returns the reference's output contract: rgb, acc, alpha, visibility
-    (transmittance), weights, depth, depth_var (+ depth_ndc/depth_var_ndc for
-    NDC runs, + visibility2 when `vis2` (nr, ns, k) is given).
+    Returns the reference's output contract: rgb (nr, 3), acc, alpha,
+    visibility (transmittance), weights, depth, depth_var
+    (+ depth_ndc/depth_var_ndc for NDC runs, + visibility2 when `vis2`
+    (nr, ns, k) is given).
     """
     inf_depth = 1.0 if ndc else 1e10
     z_ext = jnp.concatenate([z_vals, jnp.full_like(z_vals[..., :1], inf_depth)], axis=-1)
@@ -56,7 +59,9 @@ def composite(
     transmittance = exclusive_cumprod(1.0 - alpha + 1e-10)
     weights = alpha * transmittance
 
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    # Per-channel weighted sums on (nr, ns) planes; (nr, 3) only at the
+    # per-ray boundary.
+    rgb_map = jnp.sum(weights[None, :, :] * rgb, axis=-1).T
     acc = jnp.sum(weights, axis=-1)
 
     def expected_depth(z):

@@ -206,7 +206,7 @@ class TestLossComputer:
             "depth_coarse": d1, "depth_fine": d1,
             "points_augmentation_depth_coarse": d2,
             "views_augmentation_depth_coarse": d2,
-            "raw_visibility_coarse": jnp.full((8, 4, 1), 0.5),
+            "raw_visibility_coarse": jnp.full((8, 4), 0.5),
             "visibility_coarse": jnp.full((8, 4), 0.6),
             "visibility2_coarse": jnp.full((8, 1), 0.8),
         }

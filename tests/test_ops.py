@@ -53,7 +53,7 @@ class TestFusedMLP:
         params = mlp.init(jax.random.PRNGKey(3), cfg)
         nr, ns = 6, 5  # forces ray padding (tile_rays > nr divisors)
         pts, dirs = _inputs(nr, ns)
-        ref = mlp.apply(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+        ref = mlp.to_planes(mlp.apply(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns), nr, ns)
         fused = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
         assert set(fused) == set(ref)
         for k in ref:
@@ -88,7 +88,7 @@ class TestFusedMLP:
         pts = jax.random.normal(jax.random.PRNGKey(6), (n, 3))
         dirs = jax.random.normal(jax.random.PRNGKey(7), (n, 3))
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        ref = mlp.apply(params, cfg, pts, view_dirs=dirs)
+        ref = mlp.to_planes(mlp.apply(params, cfg, pts, view_dirs=dirs), n, 1)
         fused = mlp.apply_fused(params, cfg, pts, view_dirs=dirs)
         for k in ref:
             np.testing.assert_allclose(np.asarray(fused[k]), np.asarray(ref[k]), atol=3e-5)
@@ -103,7 +103,9 @@ class TestFusedMLP:
         fused = mlp.apply_fused(
             params, cfg, pts, view_dirs=dirs, view_dirs_tile=4, noise_std=1.0, noise_key=key
         )
-        np.testing.assert_allclose(np.asarray(fused["sigma"]), np.asarray(ref["sigma"]), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(fused["sigma"]), np.asarray(ref["sigma"]).reshape(4, 4), atol=3e-5
+        )
 
     def test_bf16_close_to_f32(self):
         cfg = CASES["main"]

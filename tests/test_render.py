@@ -64,7 +64,7 @@ class TestComposite:
         nr, ns = 2, 8
         z = jnp.broadcast_to(jnp.linspace(1.0, 4.0, ns), (nr, ns))
         sigma = jnp.zeros((nr, ns)).at[:, 2].set(1e8)
-        rgb = jnp.zeros((nr, ns, 3)).at[:, 2].set(jnp.array([0.2, 0.5, 0.9]))
+        rgb = jnp.zeros((3, nr, ns)).at[:, :, 2].set(jnp.array([0.2, 0.5, 0.9])[:, None])
         rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (nr, 1))
         out = volume.composite(sigma, rgb, z, rays_d)
         np.testing.assert_allclose(np.asarray(out["rgb"][0]), [0.2, 0.5, 0.9], atol=1e-5)
@@ -76,7 +76,7 @@ class TestComposite:
         nr, ns = 1, 4
         z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, ns), (nr, ns))
         out = volume.composite(
-            jnp.zeros((nr, ns)), jnp.ones((nr, ns, 3)), z,
+            jnp.zeros((nr, ns)), jnp.ones((3, nr, ns)), z,
             jnp.array([[0.0, 0.0, -1.0]]),
         )
         np.testing.assert_allclose(np.asarray(out["rgb"]), 0.0, atol=1e-6)
@@ -86,7 +86,7 @@ class TestComposite:
         nr, ns = 1, 4
         z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, ns), (nr, ns))
         out = volume.composite(
-            jnp.zeros((nr, ns)), jnp.zeros((nr, ns, 3)), z,
+            jnp.zeros((nr, ns)), jnp.zeros((3, nr, ns)), z,
             jnp.array([[0.0, 0.0, -1.0]]), white_bkgd=True,
         )
         np.testing.assert_allclose(np.asarray(out["rgb"]), 1.0, atol=1e-6)
@@ -96,7 +96,7 @@ class TestComposite:
         z = jnp.array([[1.0, 2.0]])
         sigma = jnp.array([[0.7, 0.3]])
         rays_d = jnp.array([[0.0, 0.0, -2.0]])  # norm 2 scales deltas
-        out = volume.composite(sigma, jnp.zeros((1, 2, 3)), z, rays_d)
+        out = volume.composite(sigma, jnp.zeros((3, 1, 2)), z, rays_d)
         a0 = 1 - np.exp(-0.7 * (2.0 - 1.0) * 2.0)
         a1 = 1.0  # infinite last bin
         np.testing.assert_allclose(np.asarray(out["alpha"][0]), [a0, a1], atol=1e-6)
@@ -110,7 +110,7 @@ class TestComposite:
         nr, ns = 1, 6
         z_ndc = jnp.broadcast_to(jnp.linspace(0.0, 0.9, ns), (nr, ns))
         sigma = jnp.zeros((nr, ns)).at[:, 3].set(1e8)
-        rgb = jnp.zeros((nr, ns, 3))
+        rgb = jnp.zeros((3, nr, ns))
         rays_o = jnp.zeros((nr, 3))
         rays_d = jnp.array([[0.0, 0.0, -1.0]])
         out = volume.composite(
