@@ -33,6 +33,7 @@ from simplenerf_tpu.render import renderer
 from simplenerf_tpu.training import checkpoints
 from simplenerf_tpu.training.logger import TrainLogger
 from simplenerf_tpu.training.lr_decay import make_lr_schedule
+from simplenerf_tpu.utils import profiling
 
 
 def loss_context_from_configs(configs: dict) -> LossContext:
@@ -211,23 +212,42 @@ class Trainer:
         val_interval = self.configs.get("validation_interval", 0)
         save_interval = self.configs.get("model_save_interval", 10000)
         log_interval = self.configs.get("log_interval", 100)
+        # Optional XLA trace window: {"start_iter": N, "num_iters": K}
+        # captures a jax.profiler trace into <run>/profile (SURVEY.md §5:
+        # the reference has no tracing; this is its TPU-native equivalent).
+        prof_cfg = self.configs.get("profiling") or {}
+        prof_start = int(prof_cfg.get("start_iter", -1))
+        prof_iters = int(prof_cfg.get("num_iters", 0))
+        prof_ctx = None
 
         values = {}
         t_last = time.time()
         iters_since_log = 0
         rays_per_iter = self.train_pp.num_rays + getattr(self.train_pp, "num_rays_sparse_depth", 0)
+        timer = profiling.StepTimer(rays_per_step=rays_per_iter)
+        timer.tick(0)
         it = self.start_iter
         while it < num_iterations:
+            if prof_iters and it == prof_start and prof_ctx is None:
+                prof_ctx = profiling.trace(self.output_dir / "profile")
+                prof_ctx.__enter__()
             chunk = max(1, min(self.steps_per_call, self._next_boundary(it, num_iterations) - it))
+            if prof_ctx is not None:
+                chunk = max(1, min(chunk, prof_start + prof_iters - it))
             if chunk == 1:
                 values = self.train_one_iter(it)
             else:
                 values = self.train_many(it, chunk)
             it += chunk
             iters_since_log += chunk
+            if prof_ctx is not None and it >= prof_start + prof_iters:
+                jax.block_until_ready(jax.tree.leaves(values))
+                prof_ctx.__exit__(None, None, None)
+                prof_ctx = None
             if it % log_interval == 0 or it == num_iterations:
                 values = {k: float(v) for k, v in values.items()}
                 dt = time.time() - t_last
+                timer.tick(iters_since_log)
                 scalars = dict(values)
                 scalars["lr"] = float(self.lr_schedule(it - 1))
                 scalars["rays_per_s"] = rays_per_iter * iters_since_log / max(dt, 1e-9)
@@ -238,6 +258,10 @@ class Trainer:
                 self.run_validation(it)
             if it % save_interval == 0 or it == num_iterations:
                 self.save_checkpoint(it)
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
+        if timer.stats():
+            timer.dump(self.output_dir / "logs/step_timing.json")
         return values
 
     # ------------------------------------------------------------------
