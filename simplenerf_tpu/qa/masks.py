@@ -46,10 +46,26 @@ def bilinear_splat(
     mask1: Optional[np.ndarray] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Scatter `values` (h, w, c) to positions `trans_pos` (h, w, 2) with
-    bilinear weights, down-weighted by depth so near surfaces win."""
+    bilinear weights, down-weighted by depth so near surfaces win.
+
+    The scatter-accumulate runs in the native C++ op when available
+    (simplenerf_tpu.native, ~20x faster than np.add.at); the numpy path
+    below is the fallback and the equivalence oracle (test_native)."""
     h, w, c = values.shape
     if mask1 is None:
         mask1 = np.ones((h, w), bool)
+
+    from simplenerf_tpu import native
+
+    acc_pair = native.bilinear_splat_accumulate(values, trans_pos, depth1, mask1)
+    if acc_pair is not None:
+        acc, acc_w = acc_pair
+        cropped = acc[1:-1, 1:-1]
+        cropped_w = acc_w[1:-1, 1:-1]
+        valid = cropped_w > 0
+        with np.errstate(invalid="ignore"):
+            out = np.where(valid[..., None], cropped / cropped_w[..., None], 0)
+        return out, valid
 
     pos = trans_pos + 1
     floor = np.floor(pos).astype(int)
