@@ -47,3 +47,60 @@ def shard_ray_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) support
+# ---------------------------------------------------------------------------
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host JAX job (no-op on a single process).
+
+    On TPU pods launched through the usual orchestrators every argument is
+    discovered from the environment, so call this with no arguments before
+    any other JAX API; pass explicit values only for manual multi-process
+    CPU/GPU launches. Safe to call twice.
+    """
+    explicit = coordinator_address is not None
+    env = any(
+        k in __import__("os").environ
+        for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+    )
+    if not (explicit or env):
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+def process_local_rows(n_global: int) -> slice:
+    """The slice of a globally-sized, globally-seeded ray draw this process
+    must materialize. Every process draws the SAME global index vector from
+    the same host RNG seed and keeps only its contiguous block, so the
+    global batch is identical to the single-process run."""
+    per = n_global // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)
+
+
+def shard_ray_batch_local(mesh: Mesh, tree):
+    """Multi-host ray-batch feed: each process provides its LOCAL rows
+    (see `process_local_rows`) and the arrays are assembled into global
+    jax.Arrays sharded on the ray axis. Single-process: equivalent to
+    `shard_ray_batch`."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
+    )

@@ -161,9 +161,17 @@ class Trainer:
         mask_nerf_j = jnp.asarray(mask_nerf)
         mask_sd_j = jnp.asarray(mask_sd)
         if self.mesh is not None:
-            indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch(
-                self.mesh, (indices, mask_nerf_j, mask_sd_j)
-            )
+            if jax.process_count() > 1:
+                # Multi-host: every process drew the same global batch from
+                # the shared seed; feed only the local block.
+                rows = mesh_lib.process_local_rows(indices.shape[0])
+                indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch_local(
+                    self.mesh, (indices[rows], mask_nerf_j[rows], mask_sd_j[rows])
+                )
+            else:
+                indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch(
+                    self.mesh, (indices, mask_nerf_j, mask_sd_j)
+                )
         self.params, self.opt_state, values = self._step(
             self.params, self.opt_state, pp.cache, pp.common,
             indices, mask_nerf_j, mask_sd_j, key, weights,
@@ -184,11 +192,18 @@ class Trainer:
         )
         if self.mesh is not None:
             sharding = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(None, mesh_lib.RAY_AXIS))
-            indices_k, mask_nerf_k, mask_sd_k = (
-                jax.device_put(indices_k, sharding),
-                jax.device_put(mask_nerf_k, sharding),
-                jax.device_put(mask_sd_k, sharding),
-            )
+            if jax.process_count() > 1:
+                rows = mesh_lib.process_local_rows(indices_k.shape[1])
+                indices_k, mask_nerf_k, mask_sd_k = (
+                    jax.make_array_from_process_local_data(sharding, np.asarray(x[:, rows]))
+                    for x in (indices_k, mask_nerf_k, mask_sd_k)
+                )
+            else:
+                indices_k, mask_nerf_k, mask_sd_k = (
+                    jax.device_put(indices_k, sharding),
+                    jax.device_put(mask_nerf_k, sharding),
+                    jax.device_put(mask_sd_k, sharding),
+                )
         self.params, self.opt_state, values = self._multi_step(
             self.params, self.opt_state, pp.cache, pp.common,
             indices_k, mask_nerf_k, mask_sd_k, iter_nums_k, weights_k,
