@@ -33,7 +33,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 PYTORCH_REFERENCE_RAYS_PER_S = 22000.0  # est., see module docstring
-STEPS_PER_CALL = 20
+STEPS_PER_CALL = 50
 WARMUP_CALLS = 2
 TIMED_CALLS = 3
 

@@ -316,12 +316,21 @@ class Trainer:
 
 
 def build_eval_renderer(render_cfg: renderer.RenderConfig):
-    """Jitted deterministic eval render of a fixed-size ray chunk."""
+    """Jitted deterministic eval render of stacked ray chunks.
 
-    def eval_step(params, ray_chunk):
+    Takes {key: (num_chunks, chunk, d)} and lax.maps the per-chunk render,
+    so a full frame (or a whole video pose) is ONE device dispatch — chunk
+    size bounds live memory, not dispatch count. (Per-chunk dispatch costs
+    ~25 ms RTT on relay-attached TPUs; a 762k-ray LLFF frame is 12 chunks.)
+    """
+
+    def render_chunk(params, ray_chunk):
         return renderer.render_rays(
             params, render_cfg, ray_chunk, train=False, keep_per_sample=False
         )
+
+    def eval_step(params, stacked):
+        return jax.lax.map(lambda rc: render_chunk(params, rc), stacked)
 
     return jax.jit(eval_step)
 
@@ -342,14 +351,11 @@ def render_in_chunks(eval_step, params, ray_batch: dict, chunk: int) -> dict:
     """
     rays = {k: v for k, v in ray_batch.items() if k in RAY_KEYS}
     nr = rays["rays_o"].shape[0]
-    chunk = min(chunk, max(nr, 1))
+    chunk = min(chunk, max(-(-nr // 256) * 256, 256))
     num_chunks = -(-nr // chunk)
     padded = num_chunks * chunk
     if padded != nr:
         rays = {k: jnp.concatenate([v, jnp.repeat(v[-1:], padded - nr, axis=0)]) for k, v in rays.items()}
-    pieces = []
-    for i in range(num_chunks):
-        sl = {k: v[i * chunk : (i + 1) * chunk] for k, v in rays.items()}
-        pieces.append(eval_step(params, sl))
-    out = {k: jnp.concatenate([p[k] for p in pieces], axis=0)[:nr] for k in pieces[0]}
-    return out
+    stacked = {k: v.reshape(num_chunks, chunk, *v.shape[1:]) for k, v in rays.items()}
+    out = eval_step(params, stacked)
+    return {k: v.reshape(padded, *v.shape[2:])[:nr] for k, v in out.items()}

@@ -192,6 +192,67 @@ def jax_leaves(jp):
     yield jp["views_out"]["b"]
 
 
+def t_mlp_aug(tp, pts, ds=None, view_dirs=None, lambertian=False):
+    """Reference MLP, augmented variants.
+
+    points-augmentation (ds set): the trunk sees only the low-frequency
+    enc[:, :p_lo]; the high-freq channels route into the views-branch input
+    (SimpleNeRF01.py:576-578,630-633). views-augmentation (lambertian):
+    use_view_dirs False, view_dependent_rgb False — rgb comes from the
+    points head and there is no views branch."""
+    enc = t_pe(pts, PE_PTS)
+    if ds is None:
+        enc_lo, enc_hi = enc, None
+    else:
+        p_lo = (2 * ds + 1) * 3
+        enc_lo, enc_hi = enc[..., :p_lo], enc[..., p_lo:]
+    h = enc_lo
+    for i, (w, b) in enumerate(tp["pts"]):
+        h = torch.relu(h @ w + b)
+        if i in SKIP:
+            h = torch.cat([enc_lo, h], dim=-1)
+    w, b = tp["pts_out"]
+    po = h @ w + b
+    sigma = torch.relu(po[..., :1])
+    if lambertian:
+        return sigma, torch.sigmoid(po[..., 1:4])
+    w, b = tp["feature"]
+    feat = h @ w + b
+    pieces = [feat]
+    if enc_hi is not None:
+        pieces.append(enc_hi)
+    if view_dirs is not None:
+        pieces.append(t_pe(view_dirs, PE_VIEWS))
+    w, b = tp["views0"]
+    hv = torch.relu(torch.cat(pieces, dim=-1) @ w + b)
+    w, b = tp["views_out"]
+    rgb = torch.sigmoid((hv @ w + b)[..., :3])
+    return sigma, rgb
+
+
+def t_volume_render_ndc(sigma, rgb, z, rays_d_ndc, rays_o_w, rays_d_w):
+    """NDC compositing: infinite last bin 1.0, depth converted to metric via
+    the reference convert_depth_from_ndc (SimpleNeRF01.py:485-502)."""
+    inf = torch.full_like(z[..., :1], 1.0)
+    z_ext = torch.cat([z, inf], dim=-1)
+    deltas = (z_ext[..., 1:] - z_ext[..., :-1]) * rays_d_ndc.norm(dim=-1, keepdim=True)
+    alpha = 1.0 - torch.exp(-sigma[..., 0] * deltas)
+    trans = torch.cumprod(
+        torch.cat([torch.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], dim=-1), dim=-1
+    )[..., :-1]
+    weights = alpha * trans
+    rgb_map = (weights[..., None] * rgb).sum(dim=-2)
+    acc = weights.sum(dim=-1)
+    depth_ndc = (weights * z).sum(dim=-1) / (acc + 1e-6)
+
+    oz, dz = rays_o_w[..., 2:3], rays_d_w[..., 2:3]
+    tn = -(1.0 + oz) / dz
+    guard = torch.where(z == 1.0, torch.full_like(z, 1e-3), torch.zeros_like(z))
+    z_metric = (oz + tn * dz) / dz * (1.0 / (1.0 - z + guard) - 1.0) + tn
+    depth = (weights * z_metric).sum(dim=-1) / (acc + 1e-6)
+    return rgb_map, depth_ndc, depth, acc
+
+
 class TestTorchParity:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -228,6 +289,76 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(out_j["z_vals_fine"]), out_t["z_vals_fine"].numpy(), atol=5e-3
         )
+
+    @pytest.mark.parametrize("variant", ["points_aug", "views_aug_lambertian"])
+    def test_ndc_augmented_models_match(self, variant):
+        """NDC single-level render with the augmented 'simpler' models."""
+        ds = 2 if variant == "points_aug" else None
+        lambertian = variant == "views_aug_lambertian"
+        mlp_kw = dict(
+            points_net_depth=DEPTH, views_net_depth=1, points_net_width=WIDTH,
+            views_net_width=VWIDTH, points_pe_degree=PE_PTS, views_pe_degree=PE_VIEWS,
+            skip_layers=SKIP,
+        )
+        mcfg = MLPConfig(
+            num_samples=NSC,
+            points_sigma_pe_degree=ds,
+            use_view_dirs=not lambertian,
+            view_dependent_rgb=not lambertian,
+            **mlp_kw,
+        )
+        cfg = renderer.RenderConfig(
+            coarse_mlp=mcfg, ndc=True, perturb=False, raw_noise_std=0.0,
+            compute_dtype="float32", fused_mlp="off",
+        )
+        params = renderer.init(jax.random.PRNGKey(8), cfg)
+        rays = make_rays()
+        rays["rays_o_ndc"] = jnp.asarray(
+            np.random.default_rng(2).normal(0, 0.2, (NR, 3)).astype(np.float32)
+        )
+        rays["rays_d_ndc"] = rays["rays_d"] * 0.15
+        rays["near_ndc"] = jnp.zeros((NR, 1))
+        rays["far_ndc"] = jnp.ones((NR, 1))
+        out_j = renderer.render_rays(params, cfg, rays, train=False)
+
+        jp = params["coarse"]
+        tp = {
+            "pts": [(torch.tensor(np.asarray(l["w"])), torch.tensor(np.asarray(l["b"])))
+                    for l in jp["pts"]],
+            "pts_out": (torch.tensor(np.asarray(jp["pts_out"]["w"])),
+                        torch.tensor(np.asarray(jp["pts_out"]["b"]))),
+        }
+        if not lambertian:
+            tp["feature"] = (torch.tensor(np.asarray(jp["feature"]["w"])),
+                             torch.tensor(np.asarray(jp["feature"]["b"])))
+            tp["views0"] = (torch.tensor(np.asarray(jp["views"][0]["w"])),
+                            torch.tensor(np.asarray(jp["views"][0]["b"])))
+            tp["views_out"] = (torch.tensor(np.asarray(jp["views_out"]["w"])),
+                               torch.tensor(np.asarray(jp["views_out"]["b"])))
+
+        with torch.no_grad():
+            o = torch.tensor(np.asarray(rays["rays_o_ndc"]))
+            dd = torch.tensor(np.asarray(rays["rays_d_ndc"]))
+            vd = torch.tensor(np.asarray(rays["view_dirs"]))
+            ow = torch.tensor(np.asarray(rays["rays_o"]))
+            dw = torch.tensor(np.asarray(rays["rays_d"]))
+            t = torch.linspace(0.0, 1.0, NSC)
+            z = torch.zeros(NR, 1) * (1 - t) + torch.ones(NR, 1) * t
+            pts = o[:, None, :] + dd[:, None, :] * z[..., None]
+            dirs = None if lambertian else vd[:, None, :].expand(-1, NSC, -1).reshape(-1, 3)
+            sigma, rgb = t_mlp_aug(tp, pts.reshape(-1, 3), ds=ds, view_dirs=dirs,
+                                   lambertian=lambertian)
+            sigma, rgb = sigma.view(NR, NSC, 1), rgb.view(NR, NSC, 3)
+            rgb_t, depth_ndc_t, depth_t, acc_t = t_volume_render_ndc(sigma, rgb, z, dd, ow, dw)
+
+        np.testing.assert_allclose(np.asarray(out_j["rgb_coarse"]), rgb_t.numpy(),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_j["depth_ndc_coarse"]), depth_ndc_t.numpy(),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_j["depth_coarse"]), depth_t.numpy(),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_j["acc_coarse"]), acc_t.numpy(),
+                                   atol=2e-5, rtol=2e-5)
 
     def test_parameter_gradients_match(self, setup):
         cfg, params, rays = setup
