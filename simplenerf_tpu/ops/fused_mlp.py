@@ -82,6 +82,10 @@ class FusedSpec:
     ns: int  # samples per ray = plane lane width; 1 = per-point
     tile_rays: int  # rays per tile; tile rows T = tile_rays * ns
     dtype: str  # matmul input precision: "float32" | "bfloat16"
+    # Forward-only: process the tile as `halves` independent row-chains so
+    # Mosaic can overlap one chain's VPU work (PE sin/cos, head reductions)
+    # with the other's MXU matmuls. 1 = single chain.
+    halves: int = 1
 
     @property
     def tile(self) -> int:
@@ -140,7 +144,13 @@ def make_spec(cfg, ns: int, dtype) -> FusedSpec:
     tile_rays = 8
     while tile_rays * 2 <= target:
         tile_rays *= 2
+    # Forward tiles carry two interleaved chains (measured ~3% faster on
+    # the fine shape: one chain's PE/head VPU work hides behind the other's
+    # matmuls); the backward runs the halved single-chain tile (_fused_bwd).
+    halves = 2 if ns > 1 else 1
+    tile_rays *= halves
     return FusedSpec(
+        halves=halves,
         depth=cfg.points_net_depth,
         width=cfg.points_net_width,
         views_depth=cfg.views_net_depth if cfg.view_dep_outputs else 0,
@@ -357,17 +367,36 @@ def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
         out_refs = refs[1 + nkp :]
     kp = {k: r[:] for k, r in zip(spec.param_keys(), kp_refs)}
 
-    lo, hi = _encode_tile(spec, pts_ref[:])
-    hs = _trunk_forward(spec, kp, lo)
-    p_planes = _head_planes(spec, hs[-1], kp["wpo_t"], kp["bpo"], spec.out_p)
-    for j in range(spec.out_p):
-        out_refs[j][:] = p_planes[j]
-    if spec.has_views:
-        hvx = _hvx_broadcast(spec, hvx_ref[:]) if hvx_ref is not None else None
-        _, hvs = _views_forward(spec, kp, hs[-1], hi, hvx)
-        v_planes = _head_planes(spec, hvs[-1], kp["wvo_t"], kp["bvo"], spec.out_v)
-        for j in range(spec.out_v):
-            out_refs[spec.out_p + j][:] = v_planes[j]
+    # `halves` independent row-chains, interleaved LAYER-BY-LAYER so the
+    # scheduler can hide one chain's VPU work behind the other's matmuls.
+    nh = spec.halves
+    tr_h = spec.tile_rays // nh
+    t_h = tr_h * spec.ns
+    sub = dataclasses.replace(spec, tile_rays=tr_h, halves=1)
+    rows = [slice(h * t_h, (h + 1) * t_h) for h in range(nh)]
+    rrows = [slice(h * tr_h, (h + 1) * tr_h) for h in range(nh)]
+
+    enc = [_encode_tile(sub, pts_ref[r, :]) for r in rows]
+    hcur = [
+        jax.nn.relu(_mm(lo, kp["w0i"], sub) + kp["b0"]).astype(sub.cdtype) for lo, _ in enc
+    ]
+    for i in range(1, sub.depth):
+        acc = [_mm(h, kp[f"w{i}"], sub) for h in hcur]
+        if (i - 1) in sub.skip_layers:
+            acc = [a + _mm(lo, kp[f"w{i}i"], sub) for a, (lo, _) in zip(acc, enc)]
+        hcur = [jax.nn.relu(a + kp[f"b{i}"]).astype(sub.cdtype) for a in acc]
+
+    for h in range(nh):
+        p_planes = _head_planes(sub, hcur[h], kp["wpo_t"], kp["bpo"], sub.out_p)
+        for j in range(sub.out_p):
+            out_refs[j][rrows[h], :] = p_planes[j]
+    if sub.has_views:
+        for h in range(nh):
+            hvx = _hvx_broadcast(sub, hvx_ref[rrows[h], :]) if hvx_ref is not None else None
+            _, hvs = _views_forward(sub, kp, hcur[h], enc[h][1], hvx)
+            v_planes = _head_planes(sub, hvs[-1], kp["wvo_t"], kp["bvo"], sub.out_v)
+            for j in range(sub.out_v):
+                out_refs[sub.out_p + j][rrows[h], :] = v_planes[j]
 
 
 def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
@@ -527,6 +556,9 @@ def _fused_fwd(spec, kp, pts, hvx):
 
 
 def _fused_bwd(spec, residuals, cotangents):
+    # The backward gains nothing from interleaved chains (its dW matmuls
+    # already provide the ILP) and prefers the smaller single-chain tile.
+    spec = dataclasses.replace(spec, tile_rays=spec.tile_rays // spec.halves, halves=1)
     kp, pts, hvx = residuals
     d_planes = cotangents
     n = pts.shape[0]

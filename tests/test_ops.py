@@ -116,3 +116,29 @@ class TestFusedMLP:
             params, cfg, pts, view_dirs=dirs, view_dirs_tile=8, dtype=jnp.bfloat16
         )
         np.testing.assert_allclose(np.asarray(f32["rgb"]), np.asarray(bf16["rgb"]), atol=0.05)
+
+
+class TestForwardHalves:
+    def test_halves_two_matches_single_chain(self):
+        """spec.halves=2 (interleaved fwd chains) computes the same planes."""
+        import dataclasses
+
+        from simplenerf_tpu.ops import fused_mlp
+        from simplenerf_tpu.fields import encoding
+        import jax.numpy as jnp
+
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(12), cfg)
+        nr, ns = 32, 4
+        pts, dirs = _inputs(nr, ns, seed=40)
+        kp = fused_mlp.kernel_params(params, cfg)
+        xv, sv, cv = encoding.encode_parts(dirs, cfg.views_pe_degree)
+        hvx = jnp.concatenate([xv, sv, cv], axis=-1) @ fused_mlp.dirs_w(params, cfg)
+
+        base = fused_mlp.make_spec(cfg, ns, jnp.float32)
+        s1 = dataclasses.replace(base, tile_rays=16, halves=1)
+        s2 = dataclasses.replace(base, tile_rays=16, halves=2)
+        out1 = fused_mlp.fused_apply(s1, kp, pts, hvx)
+        out2 = fused_mlp.fused_apply(s2, kp, pts, hvx)
+        for a, b in zip(out1, out2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
