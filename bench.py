@@ -62,20 +62,22 @@ def main():
         trainer = Trainer(cfg, Path(tmp) / "run", pp)
         rays_per_iter = pp.num_rays + pp.num_rays_sparse_depth
 
-        import jax
+        import numpy as np
 
+        # Sync via host reads: on the axon relay backend block_until_ready
+        # returns before execution finishes; np.asarray cannot.
         print("compiling + warmup...", file=sys.stderr, flush=True)
         it = 0
         for _ in range(WARMUP_CALLS):
             values = trainer.train_many(it, STEPS_PER_CALL)
             it += STEPS_PER_CALL
-        jax.block_until_ready(values["TotalLoss"])
+        np.asarray(values["TotalLoss"])
 
         t0 = time.perf_counter()
         for _ in range(TIMED_CALLS):
             values = trainer.train_many(it, STEPS_PER_CALL)
             it += STEPS_PER_CALL
-        jax.block_until_ready(values["TotalLoss"])
+        np.asarray(values["TotalLoss"])
         dt = time.perf_counter() - t0
 
         total_rays = rays_per_iter * STEPS_PER_CALL * TIMED_CALLS

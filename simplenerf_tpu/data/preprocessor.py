@@ -106,6 +106,7 @@ class ScenePreprocessor:
         self.sparse_depth_needed = "sparse_depth" in dl
         self.dense_depth_needed = "dense_depth" in dl
         self.visibility_prior_needed = "visibility_prior" in dl
+        self.mip_nerf_needed = "mip_nerf" in dl
         self.white_bkgd = configs.get("model", {}).get("white_bkgd", False)
         self.rng = np.random.default_rng(seed)
         self.model_configs = model_configs
@@ -189,6 +190,16 @@ class ScenePreprocessor:
 
         n = len(self.images)
         self.num_frames = n
+        if self.mip_nerf_needed:
+            # Mip-NeRF pixel cone radii, cached like every other per-pixel
+            # field (reference preprocess_mip_nerf_data,
+            # DataPreprocessor01.py:396-412, gated at :33,236).
+            h, w = self.resolution
+            rd = self.cache["rays_d"].reshape(n, h, w, 3)
+            self.cache["radii"] = ray_lib.get_radii(rd).reshape(n * h * w, 1)
+            if self.ndc:
+                ro = self.cache["rays_o_ndc"].reshape(n, h, w, 3)
+                self.cache["radii_ndc"] = ray_lib.get_radii_ndc(ro).reshape(n * h * w, 1)
         self.sampler = EpochSampler(self._nerf_index_pool(iter_num=0), self.rng)
 
         if self.sparse_depth_needed and self.mode == "train":
@@ -391,6 +402,12 @@ class ScenePreprocessor:
             batch["rays_d_ndc"] = d_ndc
             batch["near_ndc"] = jnp.full((nr, 1), mc["near_ndc"], jnp.float32)
             batch["far_ndc"] = jnp.full((nr, 1), mc["far_ndc"], jnp.float32)
+        if self.mip_nerf_needed:
+            batch["radii"] = ray_lib.get_radii(rays_d[None]).reshape(nr, 1)
+            if self.ndc:
+                batch["radii_ndc"] = ray_lib.get_radii_ndc(
+                    batch["rays_o_ndc"].reshape(1, h, w, 3)
+                ).reshape(nr, 1)
         if secondary_poses is not None:
             sec = norm(np.stack(secondary_poses))
             origins = []
@@ -432,6 +449,11 @@ def gather_batch(cache: dict, common: dict, consts: dict, indices, mask_nerf, ma
     """
     batch = {k: jnp.take(v, indices, axis=0) for k, v in cache.items()}
     nr = indices.shape[0]
+    for key in ("radii", "radii_ndc"):
+        # Radii exist only for NeRF rays; sparse-depth rows carry the
+        # reference's -1 fill (load_mip_nerf_cached_batch :638-653).
+        if key in batch:
+            batch[key] = jnp.where(mask_nerf[:, None], batch[key], -1.0)
     for name, value in consts.items():
         batch[name] = jnp.full((nr, 1), value, jnp.float32)
     batch["indices_mask_nerf"] = mask_nerf

@@ -137,3 +137,35 @@ class TestPreprocessor:
         pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
         assert "rays_o_ndc" not in pp.cache
         assert pp.near > 0 and pp.far > pp.near
+
+    def test_mip_nerf_radii(self, scene):
+        """'mip_nerf' in data_loader caches per-pixel cone radii (+NDC),
+        fills -1 on sparse-depth rows, and emits radii at test time
+        (reference DataPreprocessor01.py:33,236,396-412,638-653,887-892)."""
+        root, _ = scene
+        cfgs = make_configs()
+        cfgs["data_loader"]["mip_nerf"] = {}
+        raw = get_data_loader(cfgs, root, "train").load_data()
+        pp = ScenePreprocessor(cfgs, "train", raw, seed=0)
+        n_pix = 3 * 24 * 32
+        assert pp.cache["radii"].shape == (n_pix, 1)
+        assert pp.cache["radii_ndc"].shape == (n_pix, 1)
+        assert np.all(np.asarray(pp.cache["radii"]) > 0)
+
+        indices, m_nerf, m_sd = pp.next_indices(0)
+        batch = gather_batch(
+            pp.cache, pp.common, pp.batch_constants(),
+            jnp.asarray(indices), jnp.asarray(m_nerf), jnp.asarray(m_sd),
+        )
+        radii = np.asarray(batch["radii"])
+        assert np.all(radii[np.asarray(m_nerf), 0] > 0)
+        assert np.all(radii[np.asarray(m_sd), 0] == -1.0)
+
+        test_pp = ScenePreprocessor(cfgs, "test", model_configs=pp.get_model_configs())
+        tb = test_pp.create_test_data(raw["nerf_data"]["extrinsics"][0])
+        assert tb["radii"].shape == (24 * 32, 1)
+        assert tb["radii_ndc"].shape == (24 * 32, 1)
+        # Test-time radii for a train pose match the cached train radii.
+        np.testing.assert_allclose(
+            np.asarray(tb["radii"][:, 0]), np.asarray(pp.cache["radii"][: 24 * 32, 0]), atol=1e-5
+        )
