@@ -109,5 +109,33 @@ def save_configs(output_dir: Path, configs: dict, filename: str = "Configs.json"
     path.write_text(json.dumps(configs, indent=2, default=str))
 
 
+def save_test_configs(output_dir: Path, configs: dict, filename: str = "Configs.json") -> None:
+    """Test-side config drift guard (reference Tester01.py:110-136):
+    re-testing with changed configs raises instead of silently overwriting.
+    Top-level scene lists merge, keys missing from the new configs are
+    inherited from the saved ones, and device/seed are ignored."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    path = output_dir / filename
+    configs = json.loads(json.dumps(configs, default=str))
+    if path.exists():
+        old = json.loads(path.read_text())
+        for k, v in old.items():
+            configs.setdefault(k, v)
+        old_f, new_f = json.loads(json.dumps(old)), json.loads(json.dumps(configs))
+        old_scenes = old_f.pop("scene_names", None)
+        new_scenes = new_f.pop("scene_names", None)
+        if old_scenes is not None or new_scenes is not None:
+            configs["scene_names"] = sorted(
+                set(map(str, old_scenes or [])) | set(map(str, new_scenes or []))
+            )
+        for volatile in ("device", "seed"):
+            old_f.pop(volatile, None), new_f.pop(volatile, None)
+        diffs = dict_diff(old_f, new_f)
+        if diffs:
+            raise RuntimeError(f"Config drift on re-test: {diffs}")
+    path.write_text(json.dumps(configs, indent=2, default=str))
+
+
 def load_configs(path: Path) -> dict:
     return json.loads(Path(path).read_text())

@@ -136,6 +136,7 @@ class ScenePreprocessor:
         self.resolution = (int(h), int(w))
         self.images = images.astype(np.float32)
 
+        spherify = self.configs["data_loader"].get("spherify", False)
         if self.mode == "train":
             pp = pose_lib.preprocess_poses(
                 nerf["extrinsics"],
@@ -143,6 +144,7 @@ class ScenePreprocessor:
                 bd_factor=self.bd_factor,
                 recenter=self.configs["data_loader"].get("recenter_camera_poses", True),
                 train_mode=True,
+                spherify=spherify,
             )
             self.sc = pp["sc"]
             self.average_pose = pp["average_pose"]
@@ -154,10 +156,14 @@ class ScenePreprocessor:
                 translation_scale=self.model_configs["translation_scale"],
                 avg_pose=np.array(self.model_configs["average_pose"]),
                 train_mode=False,
+                spherify=spherify,
+                spherify_transform=self.model_configs.get("spherify_transform"),
             )
             self.sc = self.model_configs["translation_scale"]
             self.average_pose = np.array(self.model_configs["average_pose"])
             bounds = pp["bounds"]
+        self.spherify_transform = pp.get("spherify_transform")
+        self.render_poses = pp.get("render_poses")
         self.poses = pp["poses"]
         self.intrinsics = intrinsics
         self.bounds = np.asarray(bounds)
@@ -308,6 +314,10 @@ class ScenePreprocessor:
         if self.ndc:
             cfg["near_ndc"] = self.near_ndc
             cfg["far_ndc"] = self.far_ndc
+        if self.spherify_transform is not None:
+            # Persisted so test/video poses map into the same spherified
+            # frame (see geometry.poses.preprocess_poses docstring).
+            cfg["spherify_transform"] = self.spherify_transform
         return cfg
 
     def get_model_configs(self) -> dict:
@@ -373,6 +383,8 @@ class ScenePreprocessor:
                 translation_scale=mc["translation_scale"],
                 avg_pose=np.array(mc["average_pose"]),
                 train_mode=False,
+                spherify="spherify_transform" in mc,
+                spherify_transform=mc.get("spherify_transform"),
             )["poses"]
 
         proc = norm(pose[None])[0] if preprocess_pose else pose.astype(np.float32)

@@ -123,7 +123,9 @@ def start_testing(
     test_dir = Path(output_dirpath) / f"testing/test{test_num:04}"
     train_run_dir = Path(output_dirpath) / f"training/train{train_num:04}"
     test_dir.mkdir(parents=True, exist_ok=True)
-    (test_dir / "Configs.json").write_text(json.dumps(test_configs, indent=2, default=str))
+    # Drift guard: re-testing with changed test configs raises (reference
+    # Tester01.py:110-136) instead of overwriting the saved Configs.json.
+    config_lib.save_test_configs(test_dir, test_configs)
 
     train_configs = config_lib.load_configs(train_run_dir / "Configs.json")
     scene_ids = test_configs.get("scene_names") or resolve_scene_ids(train_configs, database_dirpath)

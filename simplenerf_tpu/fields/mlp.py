@@ -339,7 +339,15 @@ def apply_fused(
     planes = fused_mlp.fused_apply(spec, kp, pts_in, hvx)
     if pad_rays:
         planes = tuple(p[:nr] for p in planes)
+    return _fused_epilogue(cfg, spec.out_p, planes, noise_std, noise_key)
 
+
+def _fused_epilogue(cfg: MLPConfig, out_p: int, planes, noise_std, noise_key) -> dict:
+    """Raw linear head planes -> activated plane-layout outputs.
+
+    Applies noise-before-ReLU sigma (SimpleNeRF01.py:668-672) and the head
+    sigmoids on wide (nr, ns) planes; shared by the single-model and
+    stacked-ensemble fused paths."""
     out: dict = {}
     sigma = planes[0]
     if noise_std > 0.0 and noise_key is not None:
@@ -348,13 +356,74 @@ def apply_fused(
     if not cfg.view_dependent_rgb:
         out["rgb"] = jax.nn.sigmoid(jnp.stack(planes[1:4], axis=0))
     if cfg.view_dep_outputs:
-        vp = planes[spec.out_p :]
+        vp = planes[out_p:]
         if cfg.view_dependent_rgb:
             out["rgb"] = jax.nn.sigmoid(jnp.stack(vp[:3], axis=0))
         if cfg.predict_visibility:
             ch = 3 if cfg.view_dependent_rgb else 0
             out["visibility"] = jax.nn.sigmoid(vp[ch])
     return out
+
+
+def apply_fused_ensemble(
+    members: list,
+    pts: jnp.ndarray,
+    view_dirs: Optional[jnp.ndarray] = None,
+    noise_std: float = 0.0,
+    noise_keys=None,
+    dtype=jnp.float32,
+    view_dirs_tile: int = 1,
+    tile_rays: int = 8,
+) -> list:
+    """Evaluate several field MLPs at the SAME points in one fused kernel.
+
+    The TPU-native form of the reference's repeated coarse evaluations at
+    identical sample points (src/models/SimpleNeRF01.py:170-199): one
+    pallas_call encodes the points once and runs every member's trunk as an
+    interleaved chain (ops.fused_mlp.fused_apply_ensemble).
+
+    members: list of (params, cfg) pairs; pts (n, 3) grouped as
+    nr = n / view_dirs_tile rays x ns samples; view_dirs (nr, 3) shared;
+    noise_keys: per-member sigma-noise keys (or None). Returns one
+    plane-layout output dict per member, identical to running `apply_fused`
+    on each member separately.
+    """
+    from simplenerf_tpu.ops import fused_mlp
+
+    n = pts.shape[0]
+    ns = view_dirs_tile
+    nr = n // ns
+    assert nr * ns == n, (n, ns)
+    if noise_keys is None:
+        noise_keys = [None] * len(members)
+
+    cfgs = tuple(cfg for _, cfg in members)
+    ens = fused_mlp.make_ensemble_spec(cfgs, ns, dtype, tile_rays=tile_rays)
+    pad_rays = (-nr) % ens.tile_rays
+    pts_in = pts if pad_rays == 0 else jnp.pad(pts, ((0, pad_rays * ns), (0, 0)))
+
+    hvxs = []
+    for (params, cfg), m in zip(members, ens.members):
+        if m.has_hvx:
+            xv, sv, cv = encoding.encode_parts(view_dirs, cfg.views_pe_degree)
+            enc_views = jnp.concatenate([xv, sv, cv], axis=-1)
+            hvx = _mm(enc_views, fused_mlp.dirs_w(params, cfg), dtype)
+            if pad_rays:
+                hvx = jnp.pad(hvx, ((0, pad_rays), (0, 0)))
+            hvxs.append(hvx)
+
+    kps = tuple(fused_mlp.kernel_params(p, c) for p, c in members)
+    planes = fused_mlp.fused_apply_ensemble(ens, kps, pts_in, tuple(hvxs))
+
+    outs = []
+    pos = 0
+    for (params, cfg), m, nkey in zip(members, ens.members, noise_keys):
+        member_planes = planes[pos : pos + m.n_planes]
+        pos += m.n_planes
+        if pad_rays:
+            member_planes = tuple(p[:nr] for p in member_planes)
+        outs.append(_fused_epilogue(cfg, m.out_p, member_planes, noise_std, nkey))
+    return outs
 
 
 def apply_reference(

@@ -84,15 +84,24 @@ def preprocess_poses(
     translation_scale: float | None = None,
     avg_pose: np.ndarray | None = None,
     train_mode: bool = True,
+    spherify: bool = False,
+    spherify_transform: dict | None = None,
 ) -> dict:
     """Full pose pipeline (DataPreprocessor01.preprocess_poses, :937-976).
 
     Train mode computes the translation scale sc = 1/(near * bd_factor) and
     the average pose; test mode reuses the stored values so rays land in the
-    same normalized frame.
+    same normalized frame. With `spherify`, the spherification step runs
+    after the convention flip (reference :971-973); in test mode the stored
+    `spherify_transform` from the training digest must be supplied so test
+    poses land in the same spherified frame (the reference recomputes the
+    transform from whatever pose set it is given, which is singular for a
+    single test pose — storing it alongside translation_scale/average_pose
+    is the same reuse pattern the rest of the pipeline already follows).
 
     Returns dict with 'poses' (normalized, float32), and in train mode also
-    'sc', 'bounds' (scaled), 'average_pose'.
+    'sc', 'bounds' (scaled), 'average_pose' (+ 'spherify_transform' and
+    'render_poses' when spherify).
     """
     poses = poses.astype(np.float64).copy()
     out: dict = {}
@@ -112,48 +121,82 @@ def preprocess_poses(
         assert translation_scale is not None and avg_pose is not None
         poses[:, :3, 3] *= translation_scale
         if bounds is not None:
-            out["bounds"] = np.asarray(bounds, dtype=np.float64) * translation_scale
+            bounds = np.asarray(bounds, dtype=np.float64) * translation_scale
+            out["bounds"] = bounds
         avg = np.asarray(avg_pose, dtype=np.float64)
 
     poses = recenter_poses(poses, avg)
     poses = change_coordinate_system(poses, _CONVENTION_FLIP)
+
+    if spherify:
+        if not train_mode:
+            assert spherify_transform is not None, (
+                "test-mode spherify needs the stored transform from ModelConfigs"
+            )
+        poses, render_poses, bounds, transform = spherify_poses(
+            poses, bounds, transform=spherify_transform
+        )
+        if bounds is not None:
+            out["bounds"] = bounds
+        out["render_poses"] = render_poses
+        out["spherify_transform"] = transform
+
     out["poses"] = poses.astype(np.float32)
     return out
 
 
-def spherify_poses(poses: np.ndarray, bounds: np.ndarray):
+def _to44(p: np.ndarray) -> np.ndarray:
+    """(n, 3, 4) -> (n, 4, 4) with [0, 0, 0, 1] bottom rows."""
+    bottom = np.tile(np.eye(4)[-1].reshape(1, 1, 4), (p.shape[0], 1, 1))
+    return np.concatenate([p[:, :3, :4], bottom], axis=1)
+
+
+def spherify_poses(poses: np.ndarray, bounds: np.ndarray | None, transform: dict | None = None):
     """Spherify a ring of inward-facing cameras (DataPreprocessor01.py:1032-1088).
 
-    Unused in published configs; provided for capability parity. Returns
-    (reset_poses, render_poses, bounds).
+    Recentres the world on the point minimizing distance to all camera
+    z-axes, aligns the mean camera offset with +z, and rescales so the mean
+    camera distance is 1; also emits a 120-pose circular render path.
+
+    transform: optional {"c2w": (4,4), "scale": float} from a previous
+    (training) call, reused verbatim so other pose sets (test/video poses)
+    map into the SAME spherified frame. Returns
+    (poses_reset (n,4,4), render_poses (120,4,4), bounds, transform).
+    Poses are plain 4x4 here; the reference carries a vestigial LLFF hwf
+    column (:1086-1087) its own ray generation never reads.
     """
-    to44 = lambda p: np.concatenate(
-        [p, np.tile(np.eye(4)[-1].reshape(1, 1, 4), (p.shape[0], 1, 1))], axis=1
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
+    if transform is None:
+        rays_d = poses[:, :3, 2:3]
+        rays_o = poses[:, :3, 3:4]
 
-    a = np.eye(3) - rays_d * np.transpose(rays_d, (0, 2, 1))
-    b = -a @ rays_o
-    focus = np.squeeze(-np.linalg.inv((np.transpose(a, (0, 2, 1)) @ a).mean(0)) @ b.mean(0))
+        a = np.eye(3) - rays_d * np.transpose(rays_d, (0, 2, 1))
+        b = -a @ rays_o
+        focus = np.squeeze(
+            -np.linalg.inv((np.transpose(a, (0, 2, 1)) @ a).mean(0)) @ b.mean(0)
+        )
 
-    up = (poses[:, :3, 3] - focus).mean(0)
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, focus], axis=1)
+        up = (poses[:, :3, 3] - focus).mean(0)
+        vec0 = normalize(up)
+        vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
+        vec2 = normalize(np.cross(vec0, vec1))
+        c2w = np.stack([vec1, vec2, vec0, focus], axis=1)
 
-    poses_reset = np.linalg.inv(to44(c2w[None])) @ to44(poses[:, :3, :4])
-    radius = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+        reset = np.linalg.inv(_to44(c2w[None]))[0] @ _to44(poses)
+        radius = np.sqrt(np.mean(np.sum(np.square(reset[:, :3, 3]), -1)))
+        sc = 1.0 / radius
+        transform = {"c2w": _to44(c2w[None])[0].tolist(), "scale": float(sc)}
 
-    sc = 1.0 / radius
+    inv_c2w = np.linalg.inv(np.asarray(transform["c2w"], dtype=np.float64))
+    sc = float(transform["scale"])
+    poses_reset = inv_c2w[None] @ _to44(poses)
     poses_reset[:, :3, 3] *= sc
-    bounds = bounds * sc
-    radius *= sc
+    if bounds is not None:
+        bounds = np.asarray(bounds, dtype=np.float64) * sc
+    radius = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
 
     centroid = np.mean(poses_reset[:, :3, 3], 0)
     zh = centroid[2]
-    radcircle = np.sqrt(radius**2 - zh**2)
+    radcircle = np.sqrt(max(radius**2 - zh**2, 0.0))
     render_poses = []
     for th in np.linspace(0.0, 2.0 * np.pi, 120):
         cam_origin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
@@ -162,11 +205,5 @@ def spherify_poses(poses: np.ndarray, bounds: np.ndarray):
         vec0 = normalize(np.cross(vec2, up))
         vec1 = normalize(np.cross(vec2, vec0))
         render_poses.append(np.stack([vec0, vec1, vec2, cam_origin], axis=1))
-    render_poses = np.stack(render_poses, 0)
-    render_poses = np.concatenate(
-        [render_poses, np.broadcast_to(poses[0, :3, -1:], render_poses[:, :3, -1:].shape)], -1
-    )
-    poses_reset = np.concatenate(
-        [poses_reset[:, :3, :4], np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1
-    )
-    return poses_reset, render_poses, bounds
+    render_poses = _to44(np.stack(render_poses, 0))
+    return poses_reset, render_poses, bounds, transform

@@ -231,28 +231,45 @@ def _freq_matrix(degree: int):
     return jnp.where(cols % 3 == rows, jnp.exp2((cols // 3).astype(jnp.float32)), 0.0)
 
 
-def _encode_tile(spec: FusedSpec, pts32):
-    """In-kernel blocked PE.
+def _sincos(degree: int, pts32):
+    """One wide sin + one wide cos over all PE frequencies (f32)."""
+    if degree == 0:
+        return None, None
+    z = jnp.dot(pts32, _freq_matrix(degree), preferred_element_type=jnp.float32)
+    return jnp.sin(z), jnp.cos(z)
 
-    Returns (xsc_lo (T, 3+6ds) trunk input, sc_hi (T, 6(d-ds)) | None
-    views-branch extra), both in cdtype.
+
+def _member_encode(spec: FusedSpec, pts32, s, c):
+    """Blocked PE slices for one member from shared sin/cos planes.
+
+    s/c may span MORE frequencies than spec.pe_degree (ensemble max); the
+    member reads only its own static prefix, so encoding is computed once
+    per tile however many models consume it.
     """
-    d, ds = spec.pe_degree, spec.sigma_pe_degree
     x = pts32.astype(spec.cdtype)
-    if d == 0:
+    if spec.pe_degree == 0:
         return x, None
-    z = jnp.dot(pts32, _freq_matrix(d), preferred_element_type=jnp.float32)
-    s = jnp.sin(z)
-    c = jnp.cos(z)
+    d, ds = spec.pe_degree, spec.sigma_pe_degree
     lo = jnp.concatenate(
         [x, s[:, : 3 * ds].astype(spec.cdtype), c[:, : 3 * ds].astype(spec.cdtype)], axis=-1
     )
     hi = None
     if spec.has_extra:
         hi = jnp.concatenate(
-            [s[:, 3 * ds :].astype(spec.cdtype), c[:, 3 * ds :].astype(spec.cdtype)], axis=-1
+            [s[:, 3 * ds : 3 * d].astype(spec.cdtype), c[:, 3 * ds : 3 * d].astype(spec.cdtype)],
+            axis=-1,
         )
     return lo, hi
+
+
+def _encode_tile(spec: FusedSpec, pts32):
+    """In-kernel blocked PE.
+
+    Returns (xsc_lo (T, 3+6ds) trunk input, sc_hi (T, 6(d-ds)) | None
+    views-branch extra), both in cdtype.
+    """
+    s, c = _sincos(spec.pe_degree, pts32)
+    return _member_encode(spec, pts32, s, c)
 
 
 def _mm(a, b, spec):
@@ -606,3 +623,343 @@ def _fused_bwd(spec, residuals, cotangents):
 
 
 fused_apply.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stacked ensemble kernel: several field MLPs over the SAME sample points in
+# ONE pallas_call (fwd and bwd). This is the TPU-native replacement for the
+# reference's three separate coarse evaluations at identical z-vals
+# (src/models/SimpleNeRF01.py:170-199): PE sin/cos is computed once per tile
+# and shared, the member trunks run as layer-interleaved chains (one chain's
+# VPU work hides behind another's MXU matmuls — the same scheduling trick
+# the single-model forward plays with `halves`), and every member's weights
+# and dW accumulators stay VMEM-resident across the grid.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EnsembleSpec:
+    """Static spec for a stacked multi-model evaluation (hashable).
+
+    All members share the tile geometry (ns, tile_rays) and consume the same
+    points; architectures may differ (depth/width/heads/views branch/PE
+    split), covering the published main + points-aug + Lambertian views-aug
+    coarse trio.
+    """
+
+    members: tuple[FusedSpec, ...]
+
+    @property
+    def ns(self) -> int:
+        return self.members[0].ns
+
+    @property
+    def tile_rays(self) -> int:
+        return self.members[0].tile_rays
+
+    @property
+    def tile(self) -> int:
+        return self.members[0].tile
+
+    @property
+    def pe_degree(self) -> int:
+        return max(m.pe_degree for m in self.members)
+
+    @property
+    def n_planes(self) -> int:
+        return sum(m.n_planes for m in self.members)
+
+    @property
+    def hvx_members(self) -> tuple[int, ...]:
+        return tuple(i for i, m in enumerate(self.members) if m.has_hvx)
+
+
+def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 8) -> EnsembleSpec:
+    """Spec for evaluating `cfgs` jointly at shared points.
+
+    tile_rays is shared; member chains already provide the instruction-level
+    parallelism, so members run single-chain (halves=1).
+    """
+    members = tuple(
+        dataclasses.replace(make_spec(cfg, ns, dtype), tile_rays=tile_rays, halves=1)
+        for cfg in cfgs
+    )
+    return EnsembleSpec(members=members)
+
+
+def _parse_ens_refs(ens: EnsembleSpec, nkps, refs):
+    """Split the flat kernel ref list into (pts, {mi: hvx}, [kp dicts], rest)."""
+    pos = 0
+    pts_ref = refs[pos]
+    pos += 1
+    hvx_refs = {}
+    for mi in ens.hvx_members:
+        hvx_refs[mi] = refs[pos]
+        pos += 1
+    kps = []
+    for m, nk in zip(ens.members, nkps):
+        kp_refs = refs[pos : pos + nk]
+        pos += nk
+        kps.append({k: r[:] for k, r in zip(m.param_keys(), kp_refs)})
+    return pts_ref, hvx_refs, kps, list(refs[pos:])
+
+
+def _ens_fwd_kernel(ens: EnsembleSpec, nkps, *refs):
+    pts_ref, hvx_refs, kps, out_refs = _parse_ens_refs(ens, nkps, refs)
+
+    pts32 = pts_ref[:]
+    s, c = _sincos(ens.pe_degree, pts32)
+    enc = [_member_encode(m, pts32, s, c) for m in ens.members]
+
+    # Trunks interleaved layer-by-layer across members.
+    hcur = [
+        jax.nn.relu(_mm(enc[mi][0], kps[mi]["w0i"], m) + kps[mi]["b0"]).astype(m.cdtype)
+        for mi, m in enumerate(ens.members)
+    ]
+    for i in range(1, max(m.depth for m in ens.members)):
+        acc = [
+            _mm(hcur[mi], kps[mi][f"w{i}"], m) if i < m.depth else None
+            for mi, m in enumerate(ens.members)
+        ]
+        acc = [
+            a + _mm(enc[mi][0], kps[mi][f"w{i}i"], m)
+            if a is not None and (i - 1) in m.skip_layers
+            else a
+            for mi, (m, a) in enumerate(zip(ens.members, acc))
+        ]
+        hcur = [
+            jax.nn.relu(a + kps[mi][f"b{i}"]).astype(m.cdtype) if a is not None else hcur[mi]
+            for mi, (m, a) in enumerate(zip(ens.members, acc))
+        ]
+
+    out_pos = 0
+    for mi, m in enumerate(ens.members):
+        p_planes = _head_planes(m, hcur[mi], kps[mi]["wpo_t"], kps[mi]["bpo"], m.out_p)
+        for j in range(m.out_p):
+            out_refs[out_pos + j][...] = p_planes[j]
+        out_pos += m.out_p
+        if m.has_views:
+            hvx = _hvx_broadcast(m, hvx_refs[mi][:]) if mi in hvx_refs else None
+            _, hvs = _views_forward(m, kps[mi], hcur[mi], enc[mi][1], hvx)
+            v_planes = _head_planes(m, hvs[-1], kps[mi]["wvo_t"], kps[mi]["bvo"], m.out_v)
+            for j in range(m.out_v):
+                out_refs[out_pos + j][...] = v_planes[j]
+            out_pos += m.out_v
+
+
+def _ens_bwd_kernel(ens: EnsembleSpec, nkps, *refs):
+    pts_ref, hvx_refs, kps, rest = _parse_ens_refs(ens, nkps, refs)
+    dplane_refs = rest[: ens.n_planes]
+    out_refs = rest[ens.n_planes :]
+
+    pts32 = pts_ref[:]
+    s, c = _sincos(ens.pe_degree, pts32)
+
+    first = pl.program_id(0) == 0
+    grad_vals = []  # per member: list of dW in param_keys() order
+    dhvx_vals = {}  # mi -> per-tile rows
+
+    plane_pos = 0
+    for mi, m in enumerate(ens.members):
+        kp = kps[mi]
+        grads: dict = {}
+
+        def acc_grad(key, val, grads=grads):
+            grads[key] = grads.get(key, 0.0) + val
+
+        # --- recompute member forward (VMEM-resident) ---
+        lo, hi = _member_encode(m, pts32, s, c)
+        hs = _trunk_forward(m, kp, lo)
+
+        dh = None
+        if m.has_views:
+            hvx = _hvx_broadcast(m, hvx_refs[mi][:]) if mi in hvx_refs else None
+            f, hvs = _views_forward(m, kp, hs[-1], hi, hvx)
+            d_v_planes = [
+                dplane_refs[plane_pos + m.out_p + j][...] for j in range(m.out_v)
+            ]
+            g, dwvo_t, dbvo = _head_backward(m, hvs[-1], kp["wvo_t"], d_v_planes)
+            acc_grad("wvo_t", dwvo_t)
+            acc_grad("bvo", dbvo)
+            g = g * _relu_mask(hvs[-1])
+            for i in range(m.views_depth - 1, 0, -1):
+                acc_grad(f"wv{i}", _mm_tn(hvs[i - 1], g, m))
+                acc_grad(f"bv{i}", jnp.sum(g, axis=0, keepdims=True))
+                g = _mm_nt(g, kp[f"wv{i}"], m) * _relu_mask(hvs[i - 1])
+            if mi in hvx_refs:
+                r, wv = hvx_refs[mi].shape
+                dhvx_vals[mi] = g.reshape(r, m.ns, wv).sum(axis=1) if m.ns > 1 else g
+            acc_grad("bv0", jnp.sum(g, axis=0, keepdims=True))
+            acc_grad("wv0f", _mm_tn(f, g, m))
+            if m.has_extra:
+                acc_grad("wv0i", _mm_tn(hi, g, m))
+            df = _mm_nt(g, kp["wv0f"], m)
+            acc_grad("wf", _mm_tn(hs[-1], df, m))
+            acc_grad("bf", jnp.sum(df, axis=0, keepdims=True))
+            dh = _mm_nt(df, kp["wf"], m)
+
+        d_p_planes = [dplane_refs[plane_pos + j][...] for j in range(m.out_p)]
+        dpo_h, dwpo_t, dbpo = _head_backward(m, hs[-1], kp["wpo_t"], d_p_planes)
+        acc_grad("wpo_t", dwpo_t)
+        acc_grad("bpo", dbpo)
+        dh = dpo_h if dh is None else dh + dpo_h
+        plane_pos += m.n_planes
+
+        for i in range(m.depth - 1, 0, -1):
+            g = dh * _relu_mask(hs[i])
+            acc_grad(f"w{i}", _mm_tn(hs[i - 1], g, m))
+            acc_grad(f"b{i}", jnp.sum(g, axis=0, keepdims=True))
+            if (i - 1) in m.skip_layers:
+                acc_grad(f"w{i}i", _mm_tn(lo, g, m))
+            dh = _mm_nt(g, kp[f"w{i}"], m)
+        g = dh * _relu_mask(hs[0])
+        acc_grad("w0i", _mm_tn(lo, g, m))
+        acc_grad("b0", jnp.sum(g, axis=0, keepdims=True))
+
+        grad_vals.append([grads[k] for k in m.param_keys()])
+
+    # --- write: dW accumulated across the sequential grid, dhvx per-tile ---
+    pos = 0
+    for mi, m in enumerate(ens.members):
+        for val in grad_vals[mi]:
+            ref = out_refs[pos]
+            pos += 1
+
+            @pl.when(first)
+            def _(ref=ref, val=val):
+                ref[...] = val
+
+            @pl.when(jnp.logical_not(first))
+            def _(ref=ref, val=val):
+                ref[...] = ref[...] + val
+
+    for mi in ens.hvx_members:
+        out_refs[pos][...] = dhvx_vals[mi]
+        pos += 1
+
+
+def _ens_inputs(ens: EnsembleSpec, kps, pts, hvxs):
+    """Shared input plumbing for the ensemble fwd/bwd pallas_calls."""
+    t = ens.tile
+    in_specs = [_row_spec(t, 3)]
+    inputs = [pts]
+    for slot, mi in enumerate(ens.hvx_members):
+        in_specs.append(_row_spec(ens.tile_rays, ens.members[mi].views_width))
+        inputs.append(hvxs[slot])
+    nkps = []
+    for m, kp in zip(ens.members, kps):
+        keys = m.param_keys()
+        nkps.append(len(keys))
+        in_specs += [_weight_spec()] * len(keys)
+        inputs += [kp[k] for k in keys]
+    return in_specs, inputs, tuple(nkps)
+
+
+def _ens_flops(ens: EnsembleSpec, n: int, mult: int):
+    return sum(
+        mult * n * m.width * (m.width * (m.depth - 1) + 6 * m.pe_degree + 3)
+        for m in ens.members
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_apply_ensemble(ens: EnsembleSpec, kps: tuple, pts: jnp.ndarray, hvxs: tuple):
+    """Stacked evaluation of all ensemble members at shared points.
+
+    kps: tuple of kernel-param dicts (one per member, `kernel_params`
+    layout); pts: (N, 3) f32 with N % ens.tile == 0; hvxs: tuple of
+    (N // ns, Wv) per-ray views-branch addends for the members in
+    `ens.hvx_members` order. Returns the flat member-major tuple of
+    (N // ns, ns) f32 raw head planes (each member's points-head channels
+    first, then views-head channels).
+    """
+    return _ens_fwd_call(ens, kps, pts, hvxs)
+
+
+def _ens_fwd_call(ens: EnsembleSpec, kps, pts, hvxs):
+    n = pts.shape[0]
+    t = ens.tile
+    assert n % t == 0, (n, t)
+    nr = n // ens.ns
+    grid = n // t
+
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, pts, hvxs)
+    out_shape = [jax.ShapeDtypeStruct((nr, ens.ns), jnp.float32)] * ens.n_planes
+    out_specs = []
+    for m in ens.members:
+        out_specs += [_plane_spec(m)] * m.n_planes
+
+    outs = pl.pallas_call(
+        functools.partial(_ens_fwd_kernel, ens, nkps),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=_ens_flops(ens, n, 2),
+            bytes_accessed=n * 32,
+            transcendentals=n * 6 * ens.pe_degree,
+        ),
+    )(*inputs)
+    return tuple(outs)
+
+
+def _ens_fwd(ens, kps, pts, hvxs):
+    return _ens_fwd_call(ens, kps, pts, hvxs), (kps, pts, hvxs)
+
+
+def _ens_bwd(ens, residuals, cotangents):
+    kps, pts, hvxs = residuals
+    n = pts.shape[0]
+    grid = n // ens.tile
+
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, pts, hvxs)
+    for m in ens.members:
+        in_specs += [_plane_spec(m)] * m.n_planes
+    inputs += list(cotangents)
+
+    out_shape = []
+    out_specs = []
+    for m, kp in zip(ens.members, kps):
+        for k in m.param_keys():
+            out_shape.append(jax.ShapeDtypeStruct(kp[k].shape, jnp.float32))
+            out_specs.append(_weight_spec())
+    for slot, mi in enumerate(ens.hvx_members):
+        out_shape.append(jax.ShapeDtypeStruct(hvxs[slot].shape, jnp.float32))
+        out_specs.append(_row_spec(ens.tile_rays, ens.members[mi].views_width))
+
+    outs = pl.pallas_call(
+        functools.partial(_ens_bwd_kernel, ens, nkps),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=_ens_flops(ens, n, 6),
+            bytes_accessed=n * 32,
+            transcendentals=n * 6 * ens.pe_degree,
+        ),
+    )(*inputs)
+
+    pos = 0
+    dkps = []
+    for m, kp in zip(ens.members, kps):
+        keys = m.param_keys()
+        dkps.append(
+            {k: g.astype(kp[k].dtype) for k, g in zip(keys, outs[pos : pos + len(keys)])}
+        )
+        pos += len(keys)
+    dhvxs = tuple(outs[pos + i] for i in range(len(ens.hvx_members)))
+    dpts = jnp.zeros_like(pts)  # sample positions carry no gradient
+    return tuple(dkps), dpts, dhvxs
+
+
+fused_apply_ensemble.defvjp(_ens_fwd, _ens_bwd)

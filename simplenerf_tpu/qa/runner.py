@@ -107,7 +107,7 @@ class QARunner:
         )
 
     # ------------------------------------------------------------------
-    def _run_metric(self, name: str, fn, needs_mask: bool, needs_depth: bool) -> Optional[float]:
+    def _run_metric(self, name: str, fn, needs_mask: bool, needs_depth: bool):
         csv_path = self.qa_dirpath / f"{name}_FrameWise.csv"
         old = pd.read_csv(csv_path) if csv_path.exists() else None
         rows = []
@@ -134,42 +134,61 @@ class QARunner:
                     args.append(mask)
                 score = fn(*args)
                 if score is None:
-                    return None  # metric unavailable (e.g. LPIPS weights)
+                    return None, "metric unavailable (backing package not importable)"
                 rows.append([scene, frame_num, round(score, 4)])
         new = pd.DataFrame(rows, columns=["scene_name", "pred_frame_num", name])
         merged = pd.concat([old, new], ignore_index=True) if old is not None else new
         if merged.empty:
-            return None
+            return None, "no (gt, pred) frame pairs found"
         self.qa_dirpath.mkdir(parents=True, exist_ok=True)
         merged.to_csv(csv_path, index=False)
         scene_wise = merged.groupby("scene_name")[name].mean().round(4)
         scene_wise.to_csv(self.qa_dirpath / f"{name}_SceneWise.csv")
-        return round(float(merged[name].mean()), 4)
+        return round(float(merged[name].mean()), 4), None
 
     def run(self) -> dict:
+        """Run all metric families. Skips are LOUD: any of the 14 families
+        that does not produce a score is recorded with its reason under the
+        "skipped" key of QA_Scores.json (the reference hard-requires e.g.
+        lpips and would crash instead, src/qa/04_LPIPS/...:32 — here
+        missing deps degrade gracefully but never silently)."""
         scores: dict = {}
-        for name, fn in FRAME_METRICS.items():
-            value = self._run_metric(name, fn, needs_mask=False, needs_depth=False)
+        skipped: dict = {}
+
+        def attempt(name, fn, needs_mask, needs_depth):
+            value, why = self._run_metric(name, fn, needs_mask=needs_mask, needs_depth=needs_depth)
             if value is not None:
                 scores[name] = value
+            else:
+                skipped[name] = why
+
+        for name, fn in FRAME_METRICS.items():
+            attempt(name, fn, False, False)
         if self.masks_dirname is not None:
             for name, fn in MASKED_FRAME_METRICS.items():
-                value = self._run_metric(name, fn, needs_mask=True, needs_depth=False)
-                if value is not None:
-                    scores[name] = value
+                attempt(name, fn, True, False)
+        else:
+            for name in MASKED_FRAME_METRICS:
+                skipped[name] = "skipped (no masks_dirname configured)"
         if self.gt_depth_dirpath is not None:
             for name, fn in DEPTH_METRICS.items():
-                value = self._run_metric(name, fn, needs_mask=False, needs_depth=True)
-                if value is not None:
-                    scores[name] = value
+                attempt(name, fn, False, True)
             if self.masks_dirname is not None:
                 for name, fn in MASKED_DEPTH_METRICS.items():
-                    value = self._run_metric(name, fn, needs_mask=True, needs_depth=True)
-                    if value is not None:
-                        scores[name] = value
+                    attempt(name, fn, True, True)
+            else:
+                for name in MASKED_DEPTH_METRICS:
+                    skipped[name] = "skipped (no masks_dirname configured)"
+        else:
+            for name in {**DEPTH_METRICS, **MASKED_DEPTH_METRICS}:
+                skipped[name] = "skipped (no gt_depth_dirpath configured)"
 
         json_path = self.pred_dirpath / "QA_Scores.json"
         existing = json.loads(json_path.read_text()) if json_path.exists() else {}
+        existing.pop("skipped", None)
         existing.update(scores)
+        still_skipped = {k: v for k, v in skipped.items() if k not in existing}
+        if still_skipped:
+            existing["skipped"] = still_skipped
         json_path.write_text(json.dumps(existing, indent=2))
         return scores

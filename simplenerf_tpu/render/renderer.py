@@ -153,6 +153,59 @@ def _other_view_dirs(cfg: RenderConfig, z_vals, rays_o, rays_d, rays_o2) -> jnp.
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
+def _use_fused(cfg: RenderConfig) -> bool:
+    return cfg.fused_mlp == "on" or (
+        cfg.fused_mlp == "auto" and jax.default_backend() != "cpu"
+    )
+
+
+def _composite_level(cfg: RenderConfig, net_out: dict, z_vals, rays: dict) -> dict:
+    d_key = "rays_d_ndc" if cfg.ndc else "rays_d"
+    return volume.composite(
+        net_out["sigma"],
+        net_out["rgb"],
+        z_vals,
+        rays[d_key],
+        ndc=cfg.ndc,
+        rays_o_world=rays["rays_o"] if cfg.ndc else None,
+        rays_d_world=rays["rays_d"] if cfg.ndc else None,
+        white_bkgd=cfg.white_bkgd,
+        vis2=net_out.get("visibility2"),
+    )
+
+
+def _run_level_ensemble(
+    cfg: RenderConfig,
+    params: Params,
+    members: list,
+    z_vals: jnp.ndarray,
+    rays: dict,
+    train: bool,
+) -> list:
+    """Evaluate ALL level MLPs at shared z values in one stacked kernel.
+
+    The reference evaluates main/points-aug/views-aug at identical sample
+    points as separate forward passes (SimpleNeRF01.py:170-199); here they
+    are one pallas_call sharing the positional encoding
+    (mlp.apply_fused_ensemble). Compositing stays per-member XLA.
+    """
+    o_key = "rays_o_ndc" if cfg.ndc else "rays_o"
+    d_key = "rays_d_ndc" if cfg.ndc else "rays_d"
+    pts = rays[o_key][..., None, :] + rays[d_key][..., None, :] * z_vals[..., :, None]
+    nr, ns = pts.shape[:2]
+
+    nets = mlp_lib.apply_fused_ensemble(
+        [(params[name], mcfg) for name, _, mcfg, _ in members],
+        pts.reshape(nr * ns, 3),
+        view_dirs=rays.get("view_dirs"),
+        noise_std=cfg.raw_noise_std if train else 0.0,
+        noise_keys=[nkey for _, _, _, nkey in members],
+        dtype=cfg.dtype,
+        view_dirs_tile=ns,
+    )
+    return [(_composite_level(cfg, net_out, z_vals, rays), net_out) for net_out in nets]
+
+
 def _run_level(
     cfg: RenderConfig,
     params: Params,
@@ -173,9 +226,7 @@ def _run_level(
     if mcfg.predict_visibility and sec_views_vis and "rays_o2" in rays:
         view_dirs2 = _other_view_dirs(cfg, z_vals, rays["rays_o"], rays["rays_d"], rays["rays_o2"])
 
-    use_fused = cfg.fused_mlp == "on" or (
-        cfg.fused_mlp == "auto" and jax.default_backend() != "cpu"
-    )
+    use_fused = _use_fused(cfg)
     net_out = _eval_mlp(
         params[model_name],
         mcfg,
@@ -187,19 +238,7 @@ def _run_level(
         cfg.dtype,
         use_fused=use_fused,
     )
-    vis2 = net_out.get("visibility2")
-    composited = volume.composite(
-        net_out["sigma"],
-        net_out["rgb"],
-        z_vals,
-        rays[d_key],
-        ndc=cfg.ndc,
-        rays_o_world=rays["rays_o"] if cfg.ndc else None,
-        rays_d_world=rays["rays_d"] if cfg.ndc else None,
-        white_bkgd=cfg.white_bkgd,
-        vis2=vis2,
-    )
-    return composited, net_out
+    return _composite_level(cfg, net_out, z_vals, rays), net_out
 
 
 def render_rays(
@@ -251,25 +290,33 @@ def render_rays(
             keys[0], near, far, cfg.coarse_mlp.num_samples, cfg.lindisp, cfg.perturb and train
         )
         out["z_vals_coarse"] = z_coarse
-        comp, net = _run_level(
-            cfg, params, "coarse", cfg.coarse_mlp, z_coarse, rays, keys[1], train, sec_views_vis
-        )
-        weights_coarse = comp["weights"]
-        emit("", "coarse", comp, net)
 
+        members = [("coarse", "", cfg.coarse_mlp, keys[1])]
         if train and cfg.points_aug_coarse_mlp is not None:
-            comp, net = _run_level(
-                cfg, params, "points_aug_coarse", cfg.points_aug_coarse_mlp, z_coarse, rays,
-                keys[2], train, sec_views_vis,
+            members.append(
+                ("points_aug_coarse", "points_augmentation_", cfg.points_aug_coarse_mlp, keys[2])
             )
-            emit("points_augmentation_", "coarse", comp, net)
-
         if train and cfg.views_aug_coarse_mlp is not None:
-            comp, net = _run_level(
-                cfg, params, "views_aug_coarse", cfg.views_aug_coarse_mlp, z_coarse, rays,
-                keys[3], train, sec_views_vis,
+            members.append(
+                ("views_aug_coarse", "views_augmentation_", cfg.views_aug_coarse_mlp, keys[3])
             )
-            emit("views_augmentation_", "coarse", comp, net)
+
+        needs_vis2 = (
+            sec_views_vis
+            and "rays_o2" in rays
+            and any(mcfg.predict_visibility for _, _, mcfg, _ in members)
+        )
+        if _use_fused(cfg) and len(members) > 1 and not needs_vis2:
+            results = _run_level_ensemble(cfg, params, members, z_coarse, rays, train)
+        else:
+            results = [
+                _run_level(cfg, params, name, mcfg, z_coarse, rays, nkey, train, sec_views_vis)
+                for name, _, mcfg, nkey in members
+            ]
+        for (name, prefix, _, _), (comp, net) in zip(members, results):
+            if name == "coarse":
+                weights_coarse = comp["weights"]
+            emit(prefix, "coarse", comp, net)
 
     if cfg.fine_mlp is not None:
         z_fine = sampling.fine_z_vals(

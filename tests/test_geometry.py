@@ -53,6 +53,77 @@ class TestPoses:
         np.testing.assert_allclose(test["poses"], train["poses"], atol=1e-6)
 
 
+class TestSpherify:
+    """Golden checks for spherify_poses (ref DataPreprocessor01.py:1032-1088).
+
+    Geometry: 8 c2w cameras on a circle of radius 2 in the z=1 plane, all
+    looking at the origin. Hand-derived facts: the point minimizing distance
+    to all camera z-axes is the origin; the mean camera offset (the spherify
+    'up') is (0, 0, 1); every camera sits at distance sqrt(5) from the
+    focus, so the normalization scale is 1/sqrt(5) and the reset origins
+    are unit vectors whose z-components all equal 1/sqrt(5)."""
+
+    @staticmethod
+    def _ring_c2w(n=8, radius=2.0, z=1.0):
+        out = []
+        for th in np.linspace(0.0, 2 * np.pi, n, endpoint=False):
+            pos = np.array([radius * np.cos(th), radius * np.sin(th), z])
+            fwd = poses.normalize(-pos)  # z-axis looks at the origin
+            right = poses.normalize(np.cross(np.array([0.0, 0.0, 1.0]), fwd))
+            up = np.cross(fwd, right)
+            c2w = np.eye(4)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, pos
+            out.append(c2w)
+        return np.stack(out)
+
+    def test_golden_ring(self):
+        ring = self._ring_c2w()
+        bounds = np.array([2.0, 10.0])
+        reset, render, new_bounds, transform = poses.spherify_poses(ring, bounds)
+        # Scale = 1/sqrt(5): every camera is sqrt(4+1) from the focus (origin).
+        assert np.isclose(transform["scale"], 1 / np.sqrt(5.0), atol=1e-6)
+        np.testing.assert_allclose(new_bounds, bounds / np.sqrt(5.0), atol=1e-6)
+        # Focus = origin: the stored frame's translation column.
+        np.testing.assert_allclose(np.asarray(transform["c2w"])[:3, 3], 0.0, atol=1e-6)
+        # Reset origins are unit vectors with constant z = 1/sqrt(5).
+        t = reset[:, :3, 3]
+        np.testing.assert_allclose(np.linalg.norm(t, axis=1), 1.0, atol=1e-6)
+        np.testing.assert_allclose(t[:, 2], 1 / np.sqrt(5.0), atol=1e-6)
+        # Render path: 120 poses on the same circle, unit distance.
+        assert render.shape == (120, 4, 4)
+        np.testing.assert_allclose(
+            np.linalg.norm(render[:, :3, 3], axis=1), 1.0, atol=1e-6
+        )
+
+    def test_transform_reuse_matches(self):
+        """Applying the stored transform reproduces the training output —
+        the test-mode path through preprocess_poses(spherify=True)."""
+        ring = self._ring_c2w()
+        reset, _, _, transform = poses.spherify_poses(ring, None)
+        reset2, _, _, t2 = poses.spherify_poses(ring, None, transform=transform)
+        np.testing.assert_allclose(reset2, reset, atol=1e-12)
+        assert t2 == transform
+
+    def test_preprocess_poses_spherify_roundtrip(self):
+        """Train-mode spherify stores a transform; test mode reusing it maps
+        the same w2c inputs to identical normalized poses."""
+        ring_w2c = np.linalg.inv(self._ring_c2w(z=1.5))
+        bounds = np.array([2.0, 10.0])
+        train = poses.preprocess_poses(
+            ring_w2c, bounds=bounds, bd_factor=0.75, spherify=True
+        )
+        assert "spherify_transform" in train and "render_poses" in train
+        test = poses.preprocess_poses(
+            ring_w2c,
+            train_mode=False,
+            translation_scale=train["sc"],
+            avg_pose=train["average_pose"],
+            spherify=True,
+            spherify_transform=train["spherify_transform"],
+        )
+        np.testing.assert_allclose(test["poses"], train["poses"], atol=1e-6)
+
+
 class TestRays:
     def test_identity_camera_center_pixel(self):
         h, w = 4, 6

@@ -118,6 +118,76 @@ class TestFusedMLP:
         np.testing.assert_allclose(np.asarray(f32["rgb"]), np.asarray(bf16["rgb"]), atol=0.05)
 
 
+class TestFusedEnsemble:
+    """Stacked multi-model kernel == per-member fused evaluation.
+
+    The trio mirrors the published coarse ensemble: full main model,
+    points-aug (reduced sigma PE), Lambertian views-aug
+    (reference src/models/SimpleNeRF01.py:170-199)."""
+
+    TRIO = ["main", "points_aug", "lambertian"]
+
+    def _members(self, seed=0):
+        return [
+            (mlp.init(jax.random.PRNGKey(seed + i), CASES[n]), CASES[n])
+            for i, n in enumerate(self.TRIO)
+        ]
+
+    def test_forward_matches_per_member(self):
+        members = self._members()
+        nr, ns = 6, 5  # forces ray padding
+        pts, dirs = _inputs(nr, ns, seed=50)
+        outs = mlp.apply_fused_ensemble(members, pts, view_dirs=dirs, view_dirs_tile=ns)
+        for (params, cfg), got in zip(members, outs):
+            ref = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+            assert set(got) == set(ref)
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]), atol=3e-5, err_msg=k
+                )
+
+    def test_grads_match_per_member(self):
+        members = self._members(seed=7)
+        pts, dirs = _inputs(4, 6, seed=60)
+
+        def loss_ens(ps):
+            outs = mlp.apply_fused_ensemble(
+                [(p, cfg) for p, (_, cfg) in zip(ps, members)],
+                pts, view_dirs=dirs, view_dirs_tile=6,
+            )
+            return sum(
+                jnp.sum(o["rgb"] * (1.3 + i)) + jnp.sum(o["sigma"] * (0.3 + i))
+                for i, o in enumerate(outs)
+            )
+
+        def loss_sep(ps):
+            return sum(
+                jnp.sum(o["rgb"] * (1.3 + i)) + jnp.sum(o["sigma"] * (0.3 + i))
+                for i, o in enumerate(
+                    mlp.apply_fused(p, cfg, pts, view_dirs=dirs, view_dirs_tile=6)
+                    for p, (_, cfg) in zip(ps, members)
+                )
+            )
+
+        ps = [p for p, _ in members]
+        ge, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_ens)(ps))
+        gs, _ = jax.flatten_util.ravel_pytree(jax.grad(loss_sep)(ps))
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gs), atol=1e-4)
+
+    def test_sigma_noise_keys_per_member(self):
+        members = self._members(seed=11)
+        pts, dirs = _inputs(4, 4, seed=70)
+        nkeys = [jax.random.PRNGKey(100 + i) for i in range(3)]
+        outs = mlp.apply_fused_ensemble(
+            members, pts, view_dirs=dirs, view_dirs_tile=4, noise_std=1.0, noise_keys=nkeys
+        )
+        for (params, cfg), got, nk in zip(members, outs, nkeys):
+            ref = mlp.apply_fused(
+                params, cfg, pts, view_dirs=dirs, view_dirs_tile=4, noise_std=1.0, noise_key=nk
+            )
+            np.testing.assert_allclose(np.asarray(got["sigma"]), np.asarray(ref["sigma"]), atol=3e-5)
+
+
 class TestForwardHalves:
     def test_halves_two_matches_single_chain(self):
         """spec.halves=2 (interleaved fwd chains) computes the same planes."""

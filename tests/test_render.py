@@ -219,6 +219,30 @@ class TestRenderer:
         assert float(jnp.abs(g["coarse"]["pts"][0]["w"]).sum()) > 0
         assert float(jnp.abs(g["fine"]["pts"][0]["w"]).sum()) > 0
 
+    def test_fused_ensemble_matches_xla_path(self):
+        """Train render via the stacked coarse kernel == the XLA MLP path.
+
+        fused_mlp='on' routes the 3 coarse models (main + points-aug +
+        Lambertian views-aug) through one pallas_call (interpret mode on
+        CPU); noise off so both paths are deterministic given the key."""
+        cfg_off = tiny_render_cfg(raw_noise_std=0.0, fused_mlp="off")
+        cfg_on = tiny_render_cfg(raw_noise_std=0.0, fused_mlp="on")
+        params = renderer.init(jax.random.PRNGKey(0), cfg_off)
+        rays = make_rays()
+        key = jax.random.PRNGKey(1)
+        a = renderer.render_rays(params, cfg_off, rays, key, train=True)
+        b = renderer.render_rays(params, cfg_on, rays, key, train=True)
+        assert set(a) == set(b)
+        for k in [
+            "rgb_coarse", "depth_coarse", "weights_coarse",
+            "points_augmentation_rgb_coarse", "points_augmentation_depth_coarse",
+            "views_augmentation_rgb_coarse", "views_augmentation_depth_coarse",
+            "rgb_fine", "depth_fine",
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=5e-5, err_msg=k
+            )
+
     def test_keep_per_sample_false(self):
         cfg = tiny_render_cfg()
         params = renderer.init(jax.random.PRNGKey(0), cfg)
