@@ -1,0 +1,114 @@
+"""Method-proof ablation on the real TPU: full SimpleNeRF vs NeRF+sparse-depth.
+
+Trains the published recipe (all 4 MLPs, 9 losses, consistency ramp at
+10k iterations — reference src/NerfLlffTrainerTester01.py:351-428) for 20k
+iterations on the 189x252 synthetic scene, so >=50% of training runs with
+the patch-arbitrated consistency losses at nonzero weight; then trains the
+ablation (MSE01 + SparseDepthMSE01 only, no augmented models — the DS-NeRF
+baseline the paper improves on) for the same 20k iterations. Both are then
+tested on the held-out frames and scored with the FULL QA suite including
+the masked families (visibility masks generated from the synthetic scene's
+analytic GT depths via qa/masks.py) and the depth families (GT depths from
+the generator; predictions converted from the normalized frame to world
+units with 1/translation_scale).
+
+Run from the repo root in the background (foreground shells cap at 10 min):
+  nohup python -c "exec(open('scripts/ablation_study_tpu.py').read())" \
+      > /tmp/ablation_r2.log 2>&1 &
+
+Writes /tmp/ablation_r2/summary.json and copies each run's QA_Scores.json
+next to it; RESULTS.md records the headline numbers.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+from simplenerf_tpu.data.synthetic import generate_scene
+from simplenerf_tpu.drivers import runner
+from simplenerf_tpu.drivers.presets import simplenerf_config
+from simplenerf_tpu.qa.masks import generate_visibility_masks
+
+ROOT = Path("/tmp/ablation_r2")
+DB = ROOT / "db"
+OUT = ROOT / "runs"
+ITERS = 20000
+MASKS_DIRNAME = "VM02"
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+ROOT.mkdir(parents=True, exist_ok=True)
+gt = generate_scene(DB, scene_name="blobs", num_frames=5, h=189, w=252, num_train=3, seed=0)
+
+# --- GT depths (world units) for the QA depth families -------------------
+gt_depth_dir = ROOT / "gt_depths/blobs"
+gt_depth_dir.mkdir(parents=True, exist_ok=True)
+for i in range(len(gt["depths"])):
+    np.save(gt_depth_dir / f"{i:04}.npy", gt["depths"][i].astype(np.float32))
+
+# --- visibility masks from analytic GT depth (qa/masks.py) ---------------
+def frame_info(i):
+    return {
+        "frame": np.round(gt["images"][i] * 255).astype(np.uint8),
+        "depth": gt["depths"][i],
+        "extrinsic": gt["extrinsics"][i],
+        "intrinsic": gt["intrinsic"],
+    }
+
+train_f = {int(i): frame_info(int(i)) for i in gt["train_frames"]}
+test_f = {int(i): frame_info(int(i)) for i in gt["test_frames"]}
+generate_visibility_masks(DB / f"all/visibility_masks/{MASKS_DIRNAME}", "blobs", train_f, test_f)
+log(f"masks + GT depths ready (train={list(train_f)}, test={list(test_f)})")
+
+summary = {"iters": ITERS, "consistency_start_iter": 10000}
+
+for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
+    cfg = simplenerf_config(
+        scene_id="blobs",
+        num_iterations=ITERS,
+        consistency_start_iter=10000,
+        compute_dtype="bfloat16",
+        seed=0,
+        with_augmentations=with_aug,
+    )
+    cfg["train_num"] = train_num
+    cfg["steps_per_call"] = 50
+    t0 = time.time()
+    runner.start_training(cfg, DB, OUT)
+    t1 = time.time()
+    log(f"{tag}: trained {ITERS} iters in {t1 - t0:.0f}s")
+
+    # Convert normalized-frame predicted depth to world units for QA.
+    mc = json.loads((OUT / f"training/train{train_num:04}/blobs/ModelConfigs.json").read_text())
+    depth_scale = 1.0 / float(mc["translation_scale"])
+
+    test_cfg = {
+        "test_num": train_num,
+        "train_num": train_num,
+        "test_set_num": 2,
+        "scene_names": None,
+        "qa_masks_dirname": MASKS_DIRNAME,
+    }
+    scores = runner.start_testing(
+        test_cfg, DB, OUT, gt_depth_dirpath=ROOT / "gt_depths", depth_scale=depth_scale
+    )
+    t2 = time.time()
+    log(f"{tag}: test+QA in {t2 - t1:.0f}s -> {json.dumps(scores)}")
+    summary[tag] = {"train_s": round(t1 - t0, 1), "qa": scores, "depth_scale": depth_scale}
+    qa_json = OUT / f"testing/test{train_num:04}/QA_Scores.json"
+    if qa_json.exists():
+        (ROOT / f"QA_Scores_{tag}.json").write_text(qa_json.read_text())
+
+(ROOT / "summary.json").write_text(json.dumps(summary, indent=2))
+log("DONE")
+print(json.dumps(summary, indent=2))

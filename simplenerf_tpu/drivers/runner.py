@@ -115,6 +115,7 @@ def start_testing(
     output_dirpath: Path,
     run_qa: bool = True,
     gt_depth_dirpath: Optional[Path] = None,
+    depth_scale: float = 1.0,
 ) -> dict:
     """Render all test frames for every scene, then run the QA suite."""
     database_dirpath = Path(database_dirpath)
@@ -168,6 +169,7 @@ def start_testing(
             resolution_suffix=train_configs["data_loader"]["resolution_suffix"],
             masks_dirname=test_configs.get("qa_masks_dirname"),
             gt_depth_dirpath=gt_depth_dirpath,
+            depth_scale=depth_scale,
         )
         scores = runner.run()
     return scores
