@@ -106,6 +106,7 @@ def simplenerf_config(
         "num_iterations": num_iterations,
         "validation_interval": 0,
         "validation_chunk_size": 64 * 1024,
+        "validation_save_loss_maps": False,
         "model_save_interval": 10000,
         "mixed_precision_training": compute_dtype == "bfloat16",
         "seed": seed,

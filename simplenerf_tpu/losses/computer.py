@@ -96,13 +96,27 @@ class LossComputer:
         """Host-side: the per-loss weights at this iteration."""
         return np.array([self.weight(s, iter_num) for s in self.specs], dtype=np.float32)
 
-    def compute(self, batch: dict, outputs: dict, weights: jnp.ndarray):
-        """Weighted total + per-loss raw values. Trace-safe (static loss list)."""
+    def compute(self, batch: dict, outputs: dict, weights: jnp.ndarray,
+                return_loss_maps: bool = False):
+        """Weighted total + per-loss raw values. Trace-safe (static loss list).
+
+        With `return_loss_maps` (the reference's LossComputer01.compute_losses
+        flag, :33-52) also returns a flat {map_name: (nr,)} dict following the
+        reference's `{LossFileStem}_{level}` key grammar (LossUtils01.py:7-10);
+        map names are unique across losses so flattening loses nothing.
+        """
         values = {}
+        maps = {}
         total = 0.0
         for i, (name, fn) in enumerate(zip(self.names, self.fns)):
-            v = fn(batch, outputs)
+            if return_loss_maps:
+                v, loss_maps = fn(batch, outputs, return_maps=True)
+                maps.update(loss_maps)
+            else:
+                v = fn(batch, outputs)
             values[name] = v
             total = total + weights[i] * v
         values["TotalLoss"] = total
+        if return_loss_maps:
+            return total, values, maps
         return total, values

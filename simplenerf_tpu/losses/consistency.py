@@ -32,31 +32,54 @@ from simplenerf_tpu.losses.common import (
 )
 
 
+_PLAIN_MAP_NAMES = {
+    "points_augmentation_": "PointsAugmentationDepthLoss01",
+    "views_augmentation_": "ViewsAugmentationDepthLoss01",
+}
+_RELIABLE_MAP_NAMES = {
+    "points_augmentation_": "PointsAugmentationDepthLoss02",
+    "views_augmentation_": "ViewsAugmentationDepthLoss02",
+}
+
+
 def make_plain_depth_consistency(prefix: str, aug_fine_present: bool = False):
     """Unmasked depth MSE main<->augmented (…Loss01 variants).
 
     Means over the WHOLE batch (including sparse-depth rays), as the
-    reference does (PointsAugmentationDepthLoss01.py:57-74).
+    reference does (PointsAugmentationDepthLoss01.py:57-74). Loss map:
+    the per-ray squared error, keyed `{Stem}_{level}` (reference
+    compute_depth_loss + update_loss_map_dict suffixing).
     """
+    map_name = _PLAIN_MAP_NAMES[prefix]
 
-    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+    def loss_fn(batch: dict, outputs: dict, return_maps: bool = False):
         total = 0.0
+        maps = {}
         for level in ("coarse", "fine") if aug_fine_present else ("coarse",):
             main_key, aug_key = f"depth_{level}", f"{prefix}depth_{level}"
             if main_key in outputs and aug_key in outputs:
-                total += jnp.mean(jnp.square(outputs[main_key] - outputs[aug_key]))
-        return total
+                sq = jnp.square(outputs[main_key] - outputs[aug_key])
+                total += jnp.mean(sq)
+                maps[f"{map_name}_{level}"] = sq
+        return (total, maps) if return_maps else total
 
     return loss_fn
 
 
 def make_plain_coarse_fine_consistency():
-    """Unmasked coarse<->fine depth MSE (CoarseFineConsistencyLoss01.py:25-49)."""
+    """Unmasked coarse<->fine depth MSE (CoarseFineConsistencyLoss01.py:25-49).
 
-    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+    Loss map: per-ray squared error keyed `CoarseFineConsistencyLoss01`
+    (unsuffixed — one map for the pair, reference :45-47)."""
+
+    def loss_fn(batch: dict, outputs: dict, return_maps: bool = False):
         if "depth_coarse" not in outputs or "depth_fine" not in outputs:
-            return jnp.asarray(0.0)
-        return jnp.mean(jnp.square(outputs["depth_coarse"] - outputs["depth_fine"]))
+            return (jnp.asarray(0.0), {}) if return_maps else jnp.asarray(0.0)
+        sq = jnp.square(outputs["depth_coarse"] - outputs["depth_fine"])
+        value = jnp.mean(sq)
+        if return_maps:
+            return value, {"CoarseFineConsistencyLoss01": sq}
+        return value
 
     return loss_fn
 
@@ -67,11 +90,15 @@ def reliable_depth_consistency(
     batch: dict,
     patch_size: tuple[int, int],
     rmse_threshold: float,
-) -> jnp.ndarray:
+):
     """Patch-reprojection-arbitrated bidirectional depth consistency.
 
     depth1/depth2: (nr,) metric depths of the two models. Applied on NeRF
-    rays only. Returns the scalar loss (sum of both teaching directions).
+    rays only. Returns (loss, map1, map2): the scalar loss (sum of both
+    teaching directions) plus the per-ray squared-error maps — map1 is the
+    loss ON depth1 (zeroed where model 2 is not the reliable teacher), map2
+    the loss ON depth2 (reference compute_loss_nerf's depth_mse_map1/2,
+    CoarseFineConsistencyLoss02.py:171-175, masked lanes set to 0 :216-224).
     """
     rays_o, rays_d = batch["rays_o"], batch["rays_d"]
     nerf_mask = batch["indices_mask_nerf"]
@@ -120,9 +147,11 @@ def reliable_depth_consistency(
     sq21 = jnp.square(depth2 - jax.lax.stop_gradient(depth1))
     # Model 2 reliable -> teach model 1 (and vice versa); normalize by the
     # NeRF-ray count like the reference's mean over the filtered vector.
+    sel1 = (mask2 & nerf_mask).astype(sq12.dtype)
+    sel2 = (mask1 & nerf_mask).astype(sq21.dtype)
     loss1 = mean_over_mask_count(sq12, mask2 & nerf_mask, nerf_mask)
     loss2 = mean_over_mask_count(sq21, mask1 & nerf_mask, nerf_mask)
-    return loss1 + loss2
+    return loss1 + loss2, sq12 * sel1, sq21 * sel2
 
 
 def make_reliable_depth_consistency(
@@ -131,18 +160,26 @@ def make_reliable_depth_consistency(
     rmse_threshold: float = 0.1,
     aug_fine_present: bool = False,
 ):
-    """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}."""
+    """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}.
 
-    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+    Loss maps keyed `{Stem}_{level}_{main,augmented}` (reference
+    PointsAugmentationDepthLoss02.py:69-75)."""
+    map_name = _RELIABLE_MAP_NAMES[prefix]
+
+    def loss_fn(batch: dict, outputs: dict, return_maps: bool = False):
         total = 0.0
+        maps = {}
         levels = ("coarse", "fine") if aug_fine_present else ("coarse",)
         for level in levels:
             main_key, aug_key = f"depth_{level}", f"{prefix}depth_{level}"
             if main_key in outputs and aug_key in outputs:
-                total += reliable_depth_consistency(
+                value, map_main, map_aug = reliable_depth_consistency(
                     outputs[main_key], outputs[aug_key], batch, patch_size, rmse_threshold
                 )
-        return total
+                total += value
+                maps[f"{map_name}_{level}_main"] = map_main
+                maps[f"{map_name}_{level}_augmented"] = map_aug
+        return (total, maps) if return_maps else total
 
     return loss_fn
 
@@ -153,17 +190,28 @@ def make_reliable_coarse_fine_consistency(
     sparse_depth_enabled: bool = True,
 ):
     """CoarseFineConsistencyLoss02: arbitrated coarse<->fine + the sparse-depth
-    branch where detached fine depth teaches coarse (reference :174-189)."""
+    branch where detached fine depth teaches coarse (reference :174-189).
 
-    def loss_fn(batch: dict, outputs: dict) -> jnp.ndarray:
+    Loss maps keyed `CoarseFineConsistencyLoss02_{coarse,fine}`; the sparse-
+    depth branch's map is ADDED to the coarse map (reference :84-91)."""
+
+    def loss_fn(batch: dict, outputs: dict, return_maps: bool = False):
         if "depth_coarse" not in outputs or "depth_fine" not in outputs:
-            return jnp.asarray(0.0)
+            return (jnp.asarray(0.0), {}) if return_maps else jnp.asarray(0.0)
         dc, df = outputs["depth_coarse"], outputs["depth_fine"]
-        total = reliable_depth_consistency(dc, df, batch, patch_size, rmse_threshold)
+        total, map_coarse, map_fine = reliable_depth_consistency(
+            dc, df, batch, patch_size, rmse_threshold
+        )
         if sparse_depth_enabled and "indices_mask_sparse_depth" in batch:
             sd_mask = batch["indices_mask_sparse_depth"]
             sq = jnp.square(dc - jax.lax.stop_gradient(df))
             total += mean_over_mask_count(sq, sd_mask, sd_mask)
+            map_coarse = map_coarse + sq * sd_mask.astype(sq.dtype)
+        if return_maps:
+            return total, {
+                "CoarseFineConsistencyLoss02_coarse": map_coarse,
+                "CoarseFineConsistencyLoss02_fine": map_fine,
+            }
         return total
 
     return loss_fn

@@ -91,6 +91,20 @@ class Trainer:
         self._step = self._build_step()
         self._multi_step = self._build_multi_step()
         self._eval_step = build_eval_renderer(self.render_cfg)
+        # Validation of train frames runs with sec_views_vis, like the
+        # reference's `self.model(..., sec_views_vis=train_data)`
+        # (Trainer01.py:194-196) — only a distinct program when a
+        # visibility head exists, so reuse the plain eval step otherwise.
+        self._eval_step_vis = (
+            build_eval_renderer(self.render_cfg, sec_views_vis=True)
+            if self.render_cfg.predict_visibility
+            else self._eval_step
+        )
+        self._val_loss_step = jax.jit(
+            lambda batch, outputs, weights: self.loss_computer.compute(
+                batch, outputs, weights, return_loss_maps=True
+            )[1:]
+        )
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -287,35 +301,99 @@ class Trainer:
         )
 
     def run_validation(self, iteration: int):
-        """Render one full frame from train (and val) data; save + log PSNR
-        (reference run_validation, src/Trainer01.py:109-263)."""
+        """Reference-style validation (src/Trainer01.py:109-263, 301-305).
+
+        Renders EVERY frame of the train and validation loaders in eval mode,
+        computes the FULL configured loss set on each rendered frame (losses
+        whose inputs exist only in training batches — augmented outputs,
+        sparse-depth masks — contribute 0, exactly like the reference's
+        key-presence guards), saves per-level frames / depths / depth
+        variances (+ NDC variants) and, when `validation_save_loss_maps` is
+        set, every per-ray loss map reshaped to (h, w) as npy+png under
+        samples/Losses (LossComputer01 `return_loss_maps`, LossUtils01.py:
+        7-10 key grammar). Per-loss scalars averaged over frames are logged
+        under validation/{train,val}_images plus the headline PSNR."""
         chunk = self.configs.get("validation_chunk_size", 64 * 1024)
-        jobs = [("train_images", self.train_pp)]
+        save_loss_maps = bool(self.configs.get("validation_save_loss_maps", False))
+        weights = jnp.asarray(self.loss_computer.weights_vector(iteration))
+        samples_dir = self.output_dir / "samples"
+        jobs = [("train_images", self.train_pp, True)]
         if self.val_pp is not None:
-            jobs.append(("validation_images", self.val_pp))
-        for tag, pp in jobs:
-            frame_num = int(pp.frame_nums[0])
-            indices, mask_nerf, _ = pp.next_indices(0, image_num=frame_num)
-            batch = gather_batch(
-                pp.cache, pp.common, pp.batch_constants(),
-                jnp.asarray(indices), jnp.asarray(mask_nerf), None,
-            )
-            outputs = render_in_chunks(self._eval_step, self.params, batch, chunk)
+            jobs.append(("val_images", self.val_pp, False))
+        for tag, pp, is_train_data in jobs:
             h, w = pp.resolution
-            suffix = "_fine" if self.render_cfg.fine_mlp is not None else "_coarse"
-            pred = np.asarray(outputs[f"rgb{suffix}"]).reshape(h, w, 3)
-            target = np.asarray(pp.images[np.where(pp.frame_nums == frame_num)[0].item()])
-            mse = float(np.mean((pred - target) ** 2))
-            psnr = -10 * np.log10(max(mse, 1e-12))
-            self.logger.log_scalars(iteration, {f"validation/{tag}_mse": mse, f"validation/{tag}_psnr": psnr})
-            out_dir = self.output_dir / tag / f"iter_{iteration:06}"
-            io.write_image(out_dir / f"{frame_num:04}.png",
-                           np.round(np.clip(pred, 0, 1) * 255).astype(np.uint8))
-            io.write_depth(out_dir / f"{frame_num:04}_depth",
-                           np.asarray(outputs[f"depth{suffix}"]).reshape(h, w))
+            eval_step = self._eval_step_vis if is_train_data else self._eval_step
+            frame_nums = [int(f) for f in pp.frame_nums]
+            totals: dict = {}
+            psnr_mse = 0.0
+            for frame_num in frame_nums:
+                indices, mask_nerf, _ = pp.next_indices(0, image_num=frame_num)
+                batch = gather_batch(
+                    pp.cache, pp.common, pp.batch_constants(),
+                    jnp.asarray(indices), jnp.asarray(mask_nerf), None,
+                )
+                outputs = render_in_chunks(eval_step, self.params, batch, chunk)
+                values, maps = self._val_loss_step(batch, outputs, weights)
+                for name, v in values.items():
+                    totals[name] = totals.get(name, 0.0) + float(v)
+                finest = "fine" if "rgb_fine" in outputs else "coarse"
+                target = np.asarray(pp.images[np.where(pp.frame_nums == frame_num)[0].item()])
+                psnr_mse += float(
+                    np.mean(
+                        (np.asarray(outputs[f"rgb_{finest}"], np.float32).reshape(h, w, 3) - target)
+                        ** 2
+                    )
+                )
+
+                for mode in ("coarse", "fine"):
+                    if f"rgb_{mode}" not in outputs:
+                        continue
+                    pred = np.asarray(outputs[f"rgb_{mode}"], np.float32).reshape(h, w, 3)
+                    io.write_image(
+                        samples_dir / f"predicted_frames/{frame_num:04}_{mode}_Iter{iteration:05}.png",
+                        np.round(np.clip(pred, 0, 1) * 255).astype(np.uint8),
+                    )
+                    io.write_depth(
+                        samples_dir / f"predicted_depths/{frame_num:04}_{mode}_Iter{iteration:05}",
+                        np.asarray(outputs[f"depth_{mode}"], np.float32).reshape(h, w),
+                    )
+                    io.write_depth(
+                        samples_dir / f"predicted_depths_variance/{frame_num:04}_{mode}_Iter{iteration:05}",
+                        np.asarray(outputs[f"depth_var_{mode}"], np.float32).reshape(h, w),
+                    )
+                    for ndc_key, sub in (
+                        (f"depth_ndc_{mode}", "predicted_depths"),
+                        (f"depth_var_ndc_{mode}", "predicted_depths_variance"),
+                    ):
+                        if ndc_key in outputs:
+                            io.write_depth(
+                                samples_dir / f"{sub}/{frame_num:04}_{mode}_ndc_Iter{iteration:05}",
+                                np.asarray(outputs[ndc_key], np.float32).reshape(h, w),
+                            )
+                    vis2_key = f"visibility2_{mode}"
+                    if vis2_key in outputs:
+                        vis2 = np.asarray(outputs[vis2_key], np.float32)
+                        others = [f for f in frame_nums if f != frame_num]
+                        for j, sec in enumerate(others[: vis2.shape[1]]):
+                            io.write_depth(
+                                samples_dir
+                                / f"predicted_visibilities/{frame_num:04}_{sec:04}_{mode}_Iter{iteration:05}",
+                                vis2[:, j].reshape(h, w),
+                            )
+                if save_loss_maps:
+                    for map_name, loss_map in maps.items():
+                        io.write_depth(
+                            samples_dir / f"Losses/{map_name}_{frame_num:04}_Iter{iteration:05}",
+                            np.asarray(loss_map, np.float32).reshape(h, w),
+                        )
+
+            n = max(len(frame_nums), 1)
+            scalars = {f"validation/{tag}/{k}": v / n for k, v in totals.items()}
+            scalars[f"validation/{tag}/psnr"] = -10 * np.log10(max(psnr_mse / n, 1e-12))
+            self.logger.log_scalars(iteration, scalars)
 
 
-def build_eval_renderer(render_cfg: renderer.RenderConfig):
+def build_eval_renderer(render_cfg: renderer.RenderConfig, sec_views_vis: bool = False):
     """Jitted deterministic eval render of stacked ray chunks.
 
     Takes {key: (num_chunks, chunk, d)} and lax.maps the per-chunk render,
@@ -326,7 +404,8 @@ def build_eval_renderer(render_cfg: renderer.RenderConfig):
 
     def render_chunk(params, ray_chunk):
         return renderer.render_rays(
-            params, render_cfg, ray_chunk, train=False, keep_per_sample=False
+            params, render_cfg, ray_chunk, train=False, keep_per_sample=False,
+            sec_views_vis=sec_views_vis,
         )
 
     def eval_step(params, stacked):

@@ -117,14 +117,14 @@ def arbitration_batch(nr=4, d_true=1.0, d_wrong=5.0):
 class TestReliableConsistency:
     def test_reliable_model_teaches_wrong_model(self):
         batch, d1, d2 = arbitration_batch()
-        loss = consistency.reliable_depth_consistency(d1, d2, batch, (5, 5), 0.1)
+        loss, _, _ = consistency.reliable_depth_consistency(d1, d2, batch, (5, 5), 0.1)
         np.testing.assert_allclose(float(loss), (5.0 - 1.0) ** 2, atol=1e-5)
 
     def test_gradient_flows_only_to_wrong_model(self):
         batch, d1, d2 = arbitration_batch()
 
         def f(d1_, d2_):
-            return consistency.reliable_depth_consistency(d1_, d2_, batch, (5, 5), 0.1)
+            return consistency.reliable_depth_consistency(d1_, d2_, batch, (5, 5), 0.1)[0]
 
         g1, g2 = jax.grad(f, argnums=(0, 1))(d1, d2)
         np.testing.assert_allclose(np.asarray(g1), 0.0, atol=1e-7)
@@ -138,7 +138,7 @@ class TestReliableConsistency:
         imgs = np.asarray(batch["common"]["images"]).copy()
         imgs[1, :, :, :] = 0.9
         batch["common"]["images"] = jnp.asarray(imgs)
-        loss = consistency.reliable_depth_consistency(d1, d2, batch, (5, 5), 0.1)
+        loss, _, _ = consistency.reliable_depth_consistency(d1, d2, batch, (5, 5), 0.1)
         np.testing.assert_allclose(float(loss), 0.0, atol=1e-7)
 
     def test_coarse_fine_sd_branch(self):

@@ -87,11 +87,39 @@ class TestTraining:
         assert tester.frame_done(out, test_frame)
 
     def test_validation_renders(self, scene, tmp_path):
+        """Reference-style validation (Trainer01.py:109-263): every train
+        frame rendered + saved per level, the full loss set evaluated per
+        frame, and loss maps written when validation_save_loss_maps is on."""
         root, _ = scene
         trainer, cfg, pp = build_trainer(root, tmp_path / "run", iters=20)
+        trainer.configs["validation_save_loss_maps"] = True
         trainer.run_validation(10)
-        frame = int(pp.frame_nums[0])
-        assert (tmp_path / f"run/train_images/iter_000010/{frame:04}.png").exists()
+        samples = tmp_path / "run/samples"
+        for frame in (int(f) for f in pp.frame_nums):
+            for mode in ("coarse", "fine"):
+                assert (samples / f"predicted_frames/{frame:04}_{mode}_Iter00010.png").exists()
+                assert (samples / f"predicted_depths/{frame:04}_{mode}_Iter00010.npy").exists()
+                assert (samples / f"predicted_depths/{frame:04}_{mode}_ndc_Iter00010.npy").exists()
+                assert (samples / f"predicted_depths_variance/{frame:04}_{mode}_Iter00010.npy").exists()
+        # Loss maps: per-ray maps reshaped to (h, w), npy + png, following
+        # the reference's {LossFileStem}_{level} key grammar.
+        frame0 = int(pp.frame_nums[0])
+        for map_name in ("MSE01_coarse", "MSE01_fine",
+                         "CoarseFineConsistencyLoss02_coarse",
+                         "CoarseFineConsistencyLoss02_fine"):
+            map_npy = samples / f"Losses/{map_name}_{frame0:04}_Iter00010.npy"
+            assert map_npy.exists()
+            assert (map_npy.with_suffix(".png")).exists()
+            assert np.load(map_npy).shape == (24, 32)
+        # Per-loss scalars for every configured loss + TotalLoss + psnr logged.
+        lines = [json.loads(l) for l in open(tmp_path / "run/logs/scalars.jsonl")]
+        merged = {k: v for l in lines for k, v in l.items()}
+        for name in [s["name"] for s in cfg["losses"]] + ["TotalLoss", "psnr"]:
+            assert f"validation/train_images/{name}" in merged, name
+        # Eval-mode renders carry no augmented outputs, so MSE02/03 are 0
+        # and MSE01 is finite and positive (reference key-presence guards).
+        assert merged["validation/train_images/MSE02"] == 0.0
+        assert merged["validation/train_images/MSE01"] > 0.0
 
 
 class TestShardedTraining:
