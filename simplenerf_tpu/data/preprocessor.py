@@ -415,6 +415,11 @@ class ScenePreprocessor:
             batch["near_ndc"] = jnp.full((nr, 1), mc["near_ndc"], jnp.float32)
             batch["far_ndc"] = jnp.full((nr, 1), mc["far_ndc"], jnp.float32)
         if self.mip_nerf_needed:
+            # Deliberate divergence: the reference's test-batch metric-radii
+            # line is an annotation-typo no-op (`input_batch['radii']:
+            # torch.from_numpy(radii)`, DataPreprocessor01.py:888), so its
+            # test batches carry only 'radii_ndc'. We emit both — the metric
+            # key is what the line clearly intended (docs/PARITY.md).
             batch["radii"] = ray_lib.get_radii(rays_d[None]).reshape(nr, 1)
             if self.ndc:
                 batch["radii_ndc"] = ray_lib.get_radii_ndc(

@@ -45,7 +45,18 @@ def shard_ray_batch(mesh: Mesh, tree):
 
 
 def replicate(mesh: Mesh, tree):
+    """Fully replicate every array over the mesh.
+
+    Multi-process: every process holds the same host value (same seeds /
+    same checkpoint), so the full local array IS the per-process shard of a
+    replicated global array — assembled via
+    `jax.make_array_from_process_local_data`, the documented multi-host
+    feed path (device_put cannot target non-addressable devices)."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -85,6 +85,13 @@ class Trainer:
         if self.mesh is not None:
             self.params = mesh_lib.replicate(self.mesh, self.params)
             self.opt_state = mesh_lib.replicate(self.mesh, self.opt_state)
+            if jax.process_count() > 1:
+                # Multi-process jit requires every operand to be a global
+                # jax.Array: promote the device-resident ray cache and the
+                # scene's common data (identical on all hosts — same
+                # database, same preprocessing) to replicated global arrays.
+                self.train_pp.cache = mesh_lib.replicate(self.mesh, self.train_pp.cache)
+                self.train_pp.common = mesh_lib.replicate(self.mesh, self.train_pp.common)
 
         self.logger = TrainLogger(self.output_dir / "logs")
         self.steps_per_call = int(configs.get("steps_per_call", 1))
@@ -177,11 +184,15 @@ class Trainer:
         if self.mesh is not None:
             if jax.process_count() > 1:
                 # Multi-host: every process drew the same global batch from
-                # the shared seed; feed only the local block.
+                # the shared seed; feed only the local block. Small per-step
+                # operands (weights vector, RNG key) become replicated
+                # globals for the same every-operand-global jit requirement.
                 rows = mesh_lib.process_local_rows(indices.shape[0])
                 indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch_local(
                     self.mesh, (indices[rows], mask_nerf_j[rows], mask_sd_j[rows])
                 )
+                weights = mesh_lib.replicate(self.mesh, weights)
+                key = mesh_lib.replicate(self.mesh, key)
             else:
                 indices, mask_nerf_j, mask_sd_j = mesh_lib.shard_ray_batch(
                     self.mesh, (indices, mask_nerf_j, mask_sd_j)
@@ -212,6 +223,8 @@ class Trainer:
                     jax.make_array_from_process_local_data(sharding, np.asarray(x[:, rows]))
                     for x in (indices_k, mask_nerf_k, mask_sd_k)
                 )
+                iter_nums_k = mesh_lib.replicate(self.mesh, iter_nums_k)
+                weights_k = mesh_lib.replicate(self.mesh, weights_k)
             else:
                 indices_k, mask_nerf_k, mask_sd_k = (
                     jax.device_put(indices_k, sharding),
