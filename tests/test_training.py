@@ -134,21 +134,34 @@ class TestShardedTraining:
         assert np.isfinite(float(v2["TotalLoss"]))
 
     def test_sharded_matches_single_device(self, scene, tmp_path):
-        """Same seed, same data: sharded and unsharded steps agree."""
+        """Same seed, same data: sharded and unsharded training agree —
+        3 eager steps (single-step path) then a 97-step scan soak, so slow
+        drift across psum/reduction orderings would surface, not just a
+        3-step agreement."""
         root, _ = scene
-        t1, _, _ = build_trainer(root, tmp_path / "a", iters=10)
-        t2, _, _ = build_trainer(root, tmp_path / "b", mesh=make_mesh(), iters=10)
+        t1, _, _ = build_trainer(root, tmp_path / "a", iters=100)
+        t2, _, _ = build_trainer(root, tmp_path / "b", mesh=make_mesh(), iters=100)
         for it in range(3):
             v1 = t1.train_one_iter(it)
             v2 = t2.train_one_iter(it)
         np.testing.assert_allclose(
             float(v1["TotalLoss"]), float(v2["TotalLoss"]), rtol=2e-4
         )
+        v1 = t1.train_many(3, 97)
+        v2 = t2.train_many(3, 97)
+        np.testing.assert_allclose(
+            float(v1["TotalLoss"]), float(v2["TotalLoss"]), rtol=5e-4
+        )
+        # Tolerance calibrated to benign fp32 reduction-order drift after
+        # 100 Adam steps at this config's (10x published) LR — measured
+        # worst case |Δ| ≈ 1.1e-3 / rel 0.7% on single params; a systematic
+        # sharding bug (wrong psum, missing normalization) is orders of
+        # magnitude larger.
         for a, b in zip(
             jax.tree_util.tree_leaves(jax.device_get(t1.params)),
             jax.tree_util.tree_leaves(jax.device_get(t2.params)),
         ):
-            np.testing.assert_allclose(a, b, atol=2e-5)
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=1e-3)
 
 
 class TestMultiStep:
