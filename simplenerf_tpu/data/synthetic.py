@@ -22,7 +22,7 @@ import pandas as pd
 from simplenerf_tpu.data import io
 
 
-def _blob_field(rng: np.random.Generator, num_blobs: int = 6):
+def _blob_field(rng: np.random.Generator, num_blobs: int = 6, textured: bool = False):
     centers = np.stack(
         [
             rng.uniform(-1.2, 1.2, num_blobs),
@@ -34,7 +34,32 @@ def _blob_field(rng: np.random.Generator, num_blobs: int = 6):
     scales = rng.uniform(0.25, 0.55, num_blobs)
     density = rng.uniform(8.0, 20.0, num_blobs)
     colors = rng.uniform(0.15, 0.95, (num_blobs, 3))
-    return centers, scales, density, colors
+    tex = bg_tex = None
+    if textured:
+        # Harder (denser) blobs: a soft gaussian integrates — i.e. low-pass
+        # filters — 3-D albedo along the ray; sharp surfaces keep it.
+        density = rng.uniform(45.0, 110.0, num_blobs)
+        # Two-band 3-D sinusoidal albedo per blob (world-anchored, hence
+        # view-consistent): a coarse band (~1-unit period) and a fine band
+        # (~0.25-unit period ≈ 10-15 px at the default focal/depth), so 5x5
+        # image patches carry real texture and the reliable-consistency
+        # patch arbitration (losses/consistency.py) is informative — the
+        # regime SimpleNeRF's losses are designed for.
+        tex = (
+            rng.uniform(4.0, 7.0, (num_blobs, 3)) * rng.choice([-1.0, 1.0], (num_blobs, 3)),
+            rng.uniform(0, 2 * np.pi, num_blobs),
+            rng.uniform(18.0, 30.0, (num_blobs, 3)) * rng.choice([-1.0, 1.0], (num_blobs, 3)),
+            rng.uniform(0, 2 * np.pi, num_blobs),
+        )
+        # Textured background PLANE at fixed world z (geometrically
+        # consistent, unlike the plain mode's screen-space gradient).
+        bg_tex = (
+            rng.uniform(2.0, 5.0, (3, 2)) * rng.choice([-1.0, 1.0], (3, 2)),
+            rng.uniform(0, 2 * np.pi, 3),
+            rng.uniform(12.0, 22.0, (3, 2)) * rng.choice([-1.0, 1.0], (3, 2)),
+            rng.uniform(0, 2 * np.pi, 3),
+        )
+    return centers, scales, density, colors, tex, bg_tex
 
 
 def render_analytic(
@@ -48,7 +73,7 @@ def render_analytic(
     num_samples: int = 128,
 ):
     """Analytic volume render (numpy, OpenCV convention). Returns rgb, z-depth."""
-    centers, scales, density, colors = field
+    centers, scales, density, colors, tex, bg_tex = field
     x, y = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
     pix = np.stack([x, y, np.ones_like(x)], -1)
     dirs_cam = pix @ np.linalg.inv(intrinsic).T  # z forward = +1
@@ -76,10 +101,40 @@ def render_analytic(
     image = np.sum(weights[..., None] * rgb, axis=-2)
     acc = np.sum(weights, axis=-1)
     depth = np.sum(weights * t, axis=-1) / np.maximum(acc, 1e-6)
-    # background: soft grey gradient, far depth
-    bg = 0.35 + 0.25 * (y / h)[..., None] * np.ones(3)
+    if tex is not None:
+        # World-anchored surface albedo: modulate the composited foreground
+        # by a two-band sinusoidal texture evaluated at the per-ray surface
+        # hit point. View-consistent (pure function of world position) yet
+        # crisp — per-SAMPLE modulation washes out under the volume
+        # integral, which is exactly the low-pass behavior the arbitration
+        # losses must see through, not the texture we want to give them.
+        k1, p1, k2, p2 = tex
+        hit = origin[None, None] + dirs_w * depth[..., None]
+        mod = 0.55 + 0.225 * np.sin(hit @ k1[0] + p1[0]) + 0.225 * np.sin(hit @ k2[0] + p2[0])
+        image = image * mod[..., None]
+    if bg_tex is None:
+        # background: soft grey gradient, far depth
+        bg = 0.35 + 0.25 * (y / h)[..., None] * np.ones(3)
+        bg_depth = far
+    else:
+        # Textured plane at world z just inside `far`: the ray hits it at
+        # parametric t_bg (== camera z-depth since dirs_cam_z = 1), and its
+        # two-band sinusoidal albedo is a function of the world hit point —
+        # fully view-consistent high-frequency background.
+        z_bg = far - 0.5
+        t_bg = (z_bg - origin[2]) / np.maximum(dirs_w[..., 2], 1e-6)
+        hit = origin[None, None] + dirs_w * t_bg[..., None]
+        kb1, pb1, kb2, pb2 = bg_tex
+        chans = [
+            0.45
+            + 0.2 * np.sin(hit[..., 0] * kb1[i, 0] + hit[..., 1] * kb1[i, 1] + pb1[i])
+            + 0.15 * np.sin(hit[..., 0] * kb2[i, 0] + hit[..., 1] * kb2[i, 1] + pb2[i])
+            for i in range(3)
+        ]
+        bg = np.clip(np.stack(chans, axis=-1), 0, 1)
+        bg_depth = t_bg
     image = image + (1 - acc[..., None]) * bg
-    depth = acc * depth + (1 - acc) * far
+    depth = acc * depth + (1 - acc) * bg_depth
     return np.clip(image, 0, 1), depth
 
 
@@ -94,14 +149,22 @@ def generate_scene(
     resolution_suffix: str = "_down4",
     seed: int = 7,
     sparse_points_per_frame: int = 96,
+    textured: bool = False,
+    sparse_depth_noise: float = 0.01,
 ) -> dict:
-    """Write a full synthetic scene; returns ground-truth arrays for tests."""
+    """Write a full synthetic scene; returns ground-truth arrays for tests.
+
+    `textured=True` produces the few-shot evaluation regime SimpleNeRF
+    targets: world-anchored high-frequency albedo on the blobs plus a
+    textured background plane, so image patches disambiguate depth and the
+    reliable-consistency arbitration has signal to work with.
+    """
     rng = np.random.default_rng(seed)
     root = Path(root)
     scene_dir = root / f"all/database_data/{scene_name}"
     (scene_dir / f"rgb{resolution_suffix}").mkdir(parents=True, exist_ok=True)
 
-    field = _blob_field(rng)
+    field = _blob_field(rng, textured=textured)
     focal = 0.9 * w
     intrinsic = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1.0]])
 
@@ -169,7 +232,7 @@ def generate_scene(
     for i in train_frames:
         xs = rng.integers(0, w, sparse_points_per_frame)
         ys = rng.integers(0, h, sparse_points_per_frame)
-        d = depths[i, ys, xs] * (1 + 0.01 * rng.standard_normal(sparse_points_per_frame))
+        d = depths[i, ys, xs] * (1 + sparse_depth_noise * rng.standard_normal(sparse_points_per_frame))
         err = np.abs(rng.standard_normal(sparse_points_per_frame)) * 0.5
         weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
         pd.DataFrame(
