@@ -39,8 +39,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # Measured: reference torch code on this host's CPU, same workload shape
 # (scripts/bench_torch_reference.py; RESULTS.md). The only baseline that
-# was actually run, hence primary.
-PYTORCH_REFERENCE_CPU_RAYS_PER_S = 111.0
+# was actually run, hence primary. Re-measured round 2 (with the per-iter
+# LR decay + full-iter loss aggregation): 126.5 rays/s (was 111).
+PYTORCH_REFERENCE_CPU_RAYS_PER_S = 126.5
 # Labeled estimate of the reference on one modern CUDA GPU (secondary).
 PYTORCH_REFERENCE_GPU_EST_RAYS_PER_S = 22000.0
 STEPS_PER_CALL = 50
