@@ -336,10 +336,38 @@ def apply_fused(
             hvx = jnp.pad(hvx, ((0, pad_rays), (0, 0)))
 
     kp = fused_mlp.kernel_params(params, cfg)
-    planes = fused_mlp.fused_apply(spec, kp, pts_in, hvx)
+    lo, hi = _trunk_inputs(cfg, pts_in, spec.cdtype)
+    planes = fused_mlp.fused_apply(spec, kp, lo, hi, hvx)
     if pad_rays:
         planes = tuple(p[:nr] for p in planes)
     return _fused_epilogue(cfg, spec.out_p, planes, noise_std, noise_key)
+
+
+def _trunk_inputs(cfg: MLPConfig, pts: jnp.ndarray, cdtype):
+    """XLA-side blocked PE for the fused kernels: (lo, hi|None).
+
+    lo = [x | sin f<ds | cos f<ds] (N, 3+6ds); hi = [sin f>=ds | cos f>=ds]
+    (N, 6(d-ds)) when the points-augmentation sigma-PE split routes
+    high-frequency channels to the views branch. The kernels used to encode
+    in-VMEM; measured on v5e the narrow-lane sincos/concat relayouts cost
+    +52% forward time (scripts/kernel_lab2.py), while XLA fuses this into
+    the points producer and streams wide rows to the kernel.
+    """
+    x, s, c = encoding.encode_parts(pts, cfg.points_pe_degree)
+    x = x.astype(cdtype)
+    if cfg.points_pe_degree == 0:
+        return x, None
+    ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+    lo = jnp.concatenate(
+        [x, s[:, : 3 * ds].astype(cdtype), c[:, : 3 * ds].astype(cdtype)], axis=-1
+    )
+    hi = None
+    if cfg.extra_views_dim:
+        hi = jnp.concatenate(
+            [s[:, 3 * ds : 3 * d].astype(cdtype), c[:, 3 * ds : 3 * d].astype(cdtype)],
+            axis=-1,
+        )
+    return lo, hi
 
 
 def _fused_epilogue(cfg: MLPConfig, out_p: int, planes, noise_std, noise_key) -> dict:
@@ -413,7 +441,30 @@ def apply_fused_ensemble(
             hvxs.append(hvx)
 
     kps = tuple(fused_mlp.kernel_params(p, c) for p, c in members)
-    planes = fused_mlp.fused_apply_ensemble(ens, kps, pts_in, tuple(hvxs))
+    # Shared PE: one sincos at the ensemble-max degree, sliced per member
+    # (the in-kernel encode moved to XLA — see _trunk_inputs).
+    d_max = max(cfg.points_pe_degree for _, cfg in members)
+    x_all, s_all, c_all = encoding.encode_parts(pts_in, d_max)
+    encs = []
+    for (_, cfg), m in zip(members, ens.members):
+        x = x_all.astype(m.cdtype)
+        if cfg.points_pe_degree == 0:
+            encs.append((x, None))
+            continue
+        ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+        lo = jnp.concatenate(
+            [x, s_all[:, : 3 * ds].astype(m.cdtype), c_all[:, : 3 * ds].astype(m.cdtype)],
+            axis=-1,
+        )
+        hi = None
+        if m.has_extra:
+            hi = jnp.concatenate(
+                [s_all[:, 3 * ds : 3 * d].astype(m.cdtype),
+                 c_all[:, 3 * ds : 3 * d].astype(m.cdtype)],
+                axis=-1,
+            )
+        encs.append((lo, hi))
+    planes = fused_mlp.fused_apply_ensemble(ens, kps, tuple(encs), tuple(hvxs))
 
     outs = []
     pos = 0

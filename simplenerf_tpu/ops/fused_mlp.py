@@ -372,16 +372,26 @@ def _head_backward(spec: FusedSpec, h, wt, d_planes):
     return dh, dwt, db
 
 
-def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
+def _parse_io_refs(spec: FusedSpec, refs):
+    """(lo_ref, hi_ref|None, hvx_ref|None, rest) from the flat ref list."""
+    pos = 0
+    lo_ref = refs[pos]
+    pos += 1
+    hi_ref = None
+    if spec.has_extra:
+        hi_ref = refs[pos]
+        pos += 1
+    hvx_ref = None
     if spec.has_hvx:
-        pts_ref, hvx_ref = refs[0], refs[1]
-        kp_refs = refs[2 : 2 + nkp]
-        out_refs = refs[2 + nkp :]
-    else:
-        pts_ref = refs[0]
-        hvx_ref = None
-        kp_refs = refs[1 : 1 + nkp]
-        out_refs = refs[1 + nkp :]
+        hvx_ref = refs[pos]
+        pos += 1
+    return lo_ref, hi_ref, hvx_ref, refs[pos:]
+
+
+def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
+    lo_ref, hi_ref, hvx_ref, rest = _parse_io_refs(spec, refs)
+    kp_refs = rest[:nkp]
+    out_refs = rest[nkp:]
     kp = {k: r[:] for k, r in zip(spec.param_keys(), kp_refs)}
 
     # `halves` independent row-chains, interleaved LAYER-BY-LAYER so the
@@ -393,7 +403,12 @@ def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
     rows = [slice(h * t_h, (h + 1) * t_h) for h in range(nh)]
     rrows = [slice(h * tr_h, (h + 1) * tr_h) for h in range(nh)]
 
-    enc = [_encode_tile(sub, pts_ref[r, :]) for r in rows]
+    # PE is precomputed OUTSIDE the kernel (XLA fuses sincos+concat into the
+    # producer; in-kernel encode measured +52% fwd time — the narrow-lane
+    # sin/cos and concat relayouts serialize against the MXU, see
+    # scripts/kernel_lab2.py `lo64`). The kernel reads (T, in_lo)/(T, in_hi)
+    # cdtype rows straight into the first matmul.
+    enc = [(lo_ref[r, :], hi_ref[r, :] if hi_ref is not None else None) for r in rows]
     hcur = [
         jax.nn.relu(_mm(lo, kp["w0i"], sub) + kp["b0"]).astype(sub.cdtype) for lo, _ in enc
     ]
@@ -417,18 +432,10 @@ def _fwd_kernel(spec: FusedSpec, nkp: int, *refs):
 
 
 def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
-    pos = 0
-    pts_ref = refs[pos]
-    pos += 1
-    hvx_ref = None
-    if spec.has_hvx:
-        hvx_ref = refs[pos]
-        pos += 1
-    kp_refs = refs[pos : pos + nkp]
-    pos += nkp
-    dplane_refs = refs[pos : pos + spec.n_planes]
-    pos += spec.n_planes
-    out_refs = list(refs[pos:])
+    lo_ref, hi_ref, hvx_ref, rest = _parse_io_refs(spec, refs)
+    kp_refs = rest[:nkp]
+    dplane_refs = rest[nkp : nkp + spec.n_planes]
+    out_refs = list(rest[nkp + spec.n_planes :])
     kp = {k: r[:] for k, r in zip(spec.param_keys(), kp_refs)}
 
     grads: dict = {}
@@ -436,8 +443,9 @@ def _bwd_kernel(spec: FusedSpec, nkp: int, *refs):
     def acc_grad(key, val):
         grads[key] = grads.get(key, 0.0) + val
 
-    # --- recompute forward (activations stay in VMEM) ---
-    lo, hi = _encode_tile(spec, pts_ref[:])
+    # --- recompute forward (activations stay in VMEM; PE read, not redone) ---
+    lo = lo_ref[:]
+    hi = hi_ref[:] if hi_ref is not None else None
     hs = _trunk_forward(spec, kp, lo)
 
     dh = None  # cotangent flowing into hs[-1] (f32)
@@ -518,19 +526,40 @@ def _plane_spec(spec: FusedSpec):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_apply(spec: FusedSpec, kp: dict, pts: jnp.ndarray, hvx: Optional[jnp.ndarray]):
+def fused_apply(
+    spec: FusedSpec,
+    kp: dict,
+    lo: jnp.ndarray,
+    hi: Optional[jnp.ndarray],
+    hvx: Optional[jnp.ndarray],
+):
     """Fused field evaluation -> tuple of `spec.n_planes` output planes.
 
-    pts: (N, 3) f32 with N % spec.tile == 0; hvx: (N // ns, Wv) f32 per-ray
-    views-branch addend (enc dirs @ dirs rows), required iff spec.has_hvx.
+    lo: (N, in_lo) cdtype trunk input [x | sin f<ds | cos f<ds] with
+    N % spec.tile == 0 (PE precomputed in XLA — see _fwd_kernel note);
+    hi: (N, in_hi) cdtype high-frequency views-branch extra, required iff
+    spec.has_extra; hvx: (N // ns, Wv) f32 per-ray views-branch addend
+    (enc dirs @ dirs rows), required iff spec.has_hvx.
     Returns (N // ns, ns) f32 planes, points-head channels first — raw
     linear head outputs; noise/activations are the caller's epilogue.
     """
-    return _fused_fwd_call(spec, kp, pts, hvx)
+    return _fused_fwd_call(spec, kp, lo, hi, hvx)
 
 
-def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
-    n = pts.shape[0]
+def _io_specs_inputs(spec: FusedSpec, lo, hi, hvx):
+    in_specs = [_row_spec(spec.tile, spec.in_lo)]
+    inputs = [lo]
+    if spec.has_extra:
+        in_specs.append(_row_spec(spec.tile, spec.in_hi))
+        inputs.append(hi)
+    if spec.has_hvx:
+        in_specs.append(_row_spec(spec.tile_rays, spec.views_width))
+        inputs.append(hvx)
+    return in_specs, inputs
+
+
+def _fused_fwd_call(spec: FusedSpec, kp, lo, hi, hvx):
+    n = lo.shape[0]
     t = spec.tile
     assert n % t == 0, (n, t)
     nr = n // spec.ns
@@ -538,11 +567,7 @@ def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
     keys = spec.param_keys()
     nkp = len(keys)
 
-    in_specs = [_row_spec(t, 3)]
-    inputs = [pts]
-    if spec.has_hvx:
-        in_specs.append(_row_spec(spec.tile_rays, spec.views_width))
-        inputs.append(hvx)
+    in_specs, inputs = _io_specs_inputs(spec, lo, hi, hvx)
     in_specs += [_weight_spec()] * nkp
     inputs += [kp[k] for k in keys]
 
@@ -561,34 +586,30 @@ def _fused_fwd_call(spec: FusedSpec, kp, pts, hvx):
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_trunk, bytes_accessed=n * 32, transcendentals=n * 6 * spec.pe_degree
+            flops=flops_trunk, bytes_accessed=n * 32, transcendentals=0  # PE precomputed in XLA
         ),
     )(*inputs)
     return tuple(outs)
 
 
-def _fused_fwd(spec, kp, pts, hvx):
-    out = _fused_fwd_call(spec, kp, pts, hvx)
-    return out, (kp, pts, hvx)
+def _fused_fwd(spec, kp, lo, hi, hvx):
+    out = _fused_fwd_call(spec, kp, lo, hi, hvx)
+    return out, (kp, lo, hi, hvx)
 
 
 def _fused_bwd(spec, residuals, cotangents):
     # The backward gains nothing from interleaved chains (its dW matmuls
     # already provide the ILP) and prefers the smaller single-chain tile.
     spec = dataclasses.replace(spec, tile_rays=spec.tile_rays // spec.halves, halves=1)
-    kp, pts, hvx = residuals
+    kp, lo, hi, hvx = residuals
     d_planes = cotangents
-    n = pts.shape[0]
+    n = lo.shape[0]
     t = spec.tile
     grid = n // t
     keys = spec.param_keys()
     nkp = len(keys)
 
-    in_specs = [_row_spec(t, 3)]
-    inputs = [pts]
-    if spec.has_hvx:
-        in_specs.append(_row_spec(spec.tile_rays, spec.views_width))
-        inputs.append(hvx)
+    in_specs, inputs = _io_specs_inputs(spec, lo, hi, hvx)
     in_specs += [_weight_spec()] * nkp
     inputs += [kp[k] for k in keys]
     in_specs += [_plane_spec(spec)] * spec.n_planes
@@ -612,14 +633,16 @@ def _fused_bwd(spec, residuals, cotangents):
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_trunk, bytes_accessed=n * 32, transcendentals=n * 6 * spec.pe_degree
+            flops=flops_trunk, bytes_accessed=n * 32, transcendentals=0  # PE precomputed in XLA
         ),
     )(*inputs)
 
     dkp = {k: g.astype(kp[k].dtype) for k, g in zip(keys, outs[:nkp])}
     dhvx = outs[nkp] if spec.has_hvx else None
-    dpts = jnp.zeros_like(pts)  # sample positions carry no gradient
-    return dkp, dpts, dhvx
+    # Sample positions carry no gradient, so neither do their encodings.
+    dlo = jnp.zeros_like(lo)
+    dhi = jnp.zeros_like(hi) if hi is not None else None
+    return dkp, dlo, dhi, dhvx
 
 
 fused_apply.defvjp(_fused_fwd, _fused_bwd)
@@ -688,10 +711,17 @@ def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 8) -> EnsembleSpec
 
 
 def _parse_ens_refs(ens: EnsembleSpec, nkps, refs):
-    """Split the flat kernel ref list into (pts, {mi: hvx}, [kp dicts], rest)."""
+    """Split the flat kernel ref list into ([(lo, hi)], {mi: hvx}, [kp dicts], rest)."""
     pos = 0
-    pts_ref = refs[pos]
-    pos += 1
+    enc = []
+    for m in ens.members:
+        lo_ref = refs[pos]
+        pos += 1
+        hi_ref = None
+        if m.has_extra:
+            hi_ref = refs[pos]
+            pos += 1
+        enc.append((lo_ref, hi_ref))
     hvx_refs = {}
     for mi in ens.hvx_members:
         hvx_refs[mi] = refs[pos]
@@ -701,15 +731,18 @@ def _parse_ens_refs(ens: EnsembleSpec, nkps, refs):
         kp_refs = refs[pos : pos + nk]
         pos += nk
         kps.append({k: r[:] for k, r in zip(m.param_keys(), kp_refs)})
-    return pts_ref, hvx_refs, kps, list(refs[pos:])
+    return enc, hvx_refs, kps, list(refs[pos:])
 
 
 def _ens_fwd_kernel(ens: EnsembleSpec, nkps, *refs):
-    pts_ref, hvx_refs, kps, out_refs = _parse_ens_refs(ens, nkps, refs)
+    enc_refs, hvx_refs, kps, out_refs = _parse_ens_refs(ens, nkps, refs)
 
-    pts32 = pts_ref[:]
-    s, c = _sincos(ens.pe_degree, pts32)
-    enc = [_member_encode(m, pts32, s, c) for m in ens.members]
+    # Per-member PE inputs precomputed in XLA (shared sincos there); the
+    # kernel reads (T, in_lo)/(T, in_hi) rows directly (see _fwd_kernel).
+    enc = [
+        (lo_ref[:], hi_ref[:] if hi_ref is not None else None)
+        for lo_ref, hi_ref in enc_refs
+    ]
 
     # Trunks interleaved layer-by-layer across members.
     hcur = [
@@ -748,12 +781,9 @@ def _ens_fwd_kernel(ens: EnsembleSpec, nkps, *refs):
 
 
 def _ens_bwd_kernel(ens: EnsembleSpec, nkps, *refs):
-    pts_ref, hvx_refs, kps, rest = _parse_ens_refs(ens, nkps, refs)
+    enc_refs, hvx_refs, kps, rest = _parse_ens_refs(ens, nkps, refs)
     dplane_refs = rest[: ens.n_planes]
     out_refs = rest[ens.n_planes :]
-
-    pts32 = pts_ref[:]
-    s, c = _sincos(ens.pe_degree, pts32)
 
     first = pl.program_id(0) == 0
     grad_vals = []  # per member: list of dW in param_keys() order
@@ -767,8 +797,10 @@ def _ens_bwd_kernel(ens: EnsembleSpec, nkps, *refs):
         def acc_grad(key, val, grads=grads):
             grads[key] = grads.get(key, 0.0) + val
 
-        # --- recompute member forward (VMEM-resident) ---
-        lo, hi = _member_encode(m, pts32, s, c)
+        # --- recompute member forward (VMEM-resident; PE read, not redone) ---
+        lo_ref, hi_ref = enc_refs[mi]
+        lo = lo_ref[:]
+        hi = hi_ref[:] if hi_ref is not None else None
         hs = _trunk_forward(m, kp, lo)
 
         dh = None
@@ -838,11 +870,19 @@ def _ens_bwd_kernel(ens: EnsembleSpec, nkps, *refs):
         pos += 1
 
 
-def _ens_inputs(ens: EnsembleSpec, kps, pts, hvxs):
-    """Shared input plumbing for the ensemble fwd/bwd pallas_calls."""
+def _ens_inputs(ens: EnsembleSpec, kps, encs, hvxs):
+    """Shared input plumbing for the ensemble fwd/bwd pallas_calls.
+
+    encs: per-member (lo, hi|None) XLA-precomputed PE inputs."""
     t = ens.tile
-    in_specs = [_row_spec(t, 3)]
-    inputs = [pts]
+    in_specs = []
+    inputs = []
+    for m, (lo, hi) in zip(ens.members, encs):
+        in_specs.append(_row_spec(t, m.in_lo))
+        inputs.append(lo)
+        if m.has_extra:
+            in_specs.append(_row_spec(t, m.in_hi))
+            inputs.append(hi)
     for slot, mi in enumerate(ens.hvx_members):
         in_specs.append(_row_spec(ens.tile_rays, ens.members[mi].views_width))
         inputs.append(hvxs[slot])
@@ -863,27 +903,28 @@ def _ens_flops(ens: EnsembleSpec, n: int, mult: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_apply_ensemble(ens: EnsembleSpec, kps: tuple, pts: jnp.ndarray, hvxs: tuple):
+def fused_apply_ensemble(ens: EnsembleSpec, kps: tuple, encs: tuple, hvxs: tuple):
     """Stacked evaluation of all ensemble members at shared points.
 
     kps: tuple of kernel-param dicts (one per member, `kernel_params`
-    layout); pts: (N, 3) f32 with N % ens.tile == 0; hvxs: tuple of
-    (N // ns, Wv) per-ray views-branch addends for the members in
-    `ens.hvx_members` order. Returns the flat member-major tuple of
-    (N // ns, ns) f32 raw head planes (each member's points-head channels
-    first, then views-head channels).
+    layout); encs: per-member (lo, hi|None) PE inputs, each (N, in_lo) /
+    (N, in_hi) cdtype with N % ens.tile == 0 (sincos computed ONCE in XLA,
+    sliced per member); hvxs: tuple of (N // ns, Wv) per-ray views-branch
+    addends for the members in `ens.hvx_members` order. Returns the flat
+    member-major tuple of (N // ns, ns) f32 raw head planes (each member's
+    points-head channels first, then views-head channels).
     """
-    return _ens_fwd_call(ens, kps, pts, hvxs)
+    return _ens_fwd_call(ens, kps, encs, hvxs)
 
 
-def _ens_fwd_call(ens: EnsembleSpec, kps, pts, hvxs):
-    n = pts.shape[0]
+def _ens_fwd_call(ens: EnsembleSpec, kps, encs, hvxs):
+    n = encs[0][0].shape[0]
     t = ens.tile
     assert n % t == 0, (n, t)
     nr = n // ens.ns
     grid = n // t
 
-    in_specs, inputs, nkps = _ens_inputs(ens, kps, pts, hvxs)
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, encs, hvxs)
     out_shape = [jax.ShapeDtypeStruct((nr, ens.ns), jnp.float32)] * ens.n_planes
     out_specs = []
     for m in ens.members:
@@ -902,22 +943,22 @@ def _ens_fwd_call(ens: EnsembleSpec, kps, pts, hvxs):
         cost_estimate=pl.CostEstimate(
             flops=_ens_flops(ens, n, 2),
             bytes_accessed=n * 32,
-            transcendentals=n * 6 * ens.pe_degree,
+            transcendentals=0  # PE precomputed in XLA,
         ),
     )(*inputs)
     return tuple(outs)
 
 
-def _ens_fwd(ens, kps, pts, hvxs):
-    return _ens_fwd_call(ens, kps, pts, hvxs), (kps, pts, hvxs)
+def _ens_fwd(ens, kps, encs, hvxs):
+    return _ens_fwd_call(ens, kps, encs, hvxs), (kps, encs, hvxs)
 
 
 def _ens_bwd(ens, residuals, cotangents):
-    kps, pts, hvxs = residuals
-    n = pts.shape[0]
+    kps, encs, hvxs = residuals
+    n = encs[0][0].shape[0]
     grid = n // ens.tile
 
-    in_specs, inputs, nkps = _ens_inputs(ens, kps, pts, hvxs)
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, encs, hvxs)
     for m in ens.members:
         in_specs += [_plane_spec(m)] * m.n_planes
     inputs += list(cotangents)
@@ -945,7 +986,7 @@ def _ens_bwd(ens, residuals, cotangents):
         cost_estimate=pl.CostEstimate(
             flops=_ens_flops(ens, n, 6),
             bytes_accessed=n * 32,
-            transcendentals=n * 6 * ens.pe_degree,
+            transcendentals=0  # PE precomputed in XLA,
         ),
     )(*inputs)
 
@@ -958,8 +999,12 @@ def _ens_bwd(ens, residuals, cotangents):
         )
         pos += len(keys)
     dhvxs = tuple(outs[pos + i] for i in range(len(ens.hvx_members)))
-    dpts = jnp.zeros_like(pts)  # sample positions carry no gradient
-    return tuple(dkps), dpts, dhvxs
+    # Sample positions carry no gradient, so neither do their encodings.
+    dencs = tuple(
+        (jnp.zeros_like(lo), jnp.zeros_like(hi) if hi is not None else None)
+        for lo, hi in encs
+    )
+    return tuple(dkps), dencs, dhvxs
 
 
 fused_apply_ensemble.defvjp(_ens_fwd, _ens_bwd)

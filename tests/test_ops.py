@@ -208,7 +208,8 @@ class TestForwardHalves:
         base = fused_mlp.make_spec(cfg, ns, jnp.float32)
         s1 = dataclasses.replace(base, tile_rays=16, halves=1)
         s2 = dataclasses.replace(base, tile_rays=16, halves=2)
-        out1 = fused_mlp.fused_apply(s1, kp, pts, hvx)
-        out2 = fused_mlp.fused_apply(s2, kp, pts, hvx)
+        lo, hi = mlp._trunk_inputs(cfg, pts, base.cdtype)
+        out1 = fused_mlp.fused_apply(s1, kp, lo, hi, hvx)
+        out2 = fused_mlp.fused_apply(s2, kp, lo, hi, hvx)
         for a, b in zip(out1, out2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
