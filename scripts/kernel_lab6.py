@@ -1,0 +1,159 @@
+"""Kernel lab 6: angle-doubling sincos ladder, in-kernel.
+
+lab5: split-matmul PE without concat still costs ~3 ms in-kernel — the
+sin/cos library calls are the hog (47M transcendentals/pass), not the
+concat. Candidate: compute sin/cos of the BASE frequency only (2.4M
+transcendentals) and produce octave i via the doubling identities
+  sin(2a) = 2 sin a cos a,  cos(2a) = 1 - 2 sin^2 a
+(3 mults + 1 add per element-octave, plain VPU). Error growth ~2x per
+octave from f32 base stays ~1e-5 absolute after 9 doublings — far under
+the bf16 cast (~4e-3) the encodings immediately undergo.
+
+  ladder   — sigma-only trunk, split-matmul PE, doubling-ladder sincos
+  (reference points: lab2 sigmaonly in-kernel libm 9.64 ms / precomputed-lo
+   6.35 ms; lab5 split_pe libm 10.31 ms)
+
+Also verifies numerics: max |ladder - libm| on the encodings.
+
+Run: nohup python -c "exec(open('scripts/kernel_lab6.py').read())" > /tmp/kernel_lab6.log 2>&1 &
+"""
+
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simplenerf_tpu.fields import mlp as mlp_lib
+from simplenerf_tpu.ops import fused_mlp as F
+
+REPS = 20
+NR = 4096
+NS = 192
+N = NR * NS
+D = 10
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def sincos_ladder(x, degree):
+    """(.., 3) -> s, c each (.., 3*degree), octave-major like _sincos."""
+    s0, c0 = jnp.sin(x), jnp.cos(x)
+    ss, cs = [s0], [c0]
+    for _ in range(degree - 1):
+        s, c = ss[-1], cs[-1]
+        ss.append(2.0 * s * c)
+        cs.append(1.0 - 2.0 * s * s)
+    return jnp.concatenate(ss, axis=-1), jnp.concatenate(cs, axis=-1)
+
+
+# --- numerics check (host) ---------------------------------------------------
+xx = np.random.default_rng(0).uniform(-2, 2, (4096, 3)).astype(np.float32)
+s_l, c_l = sincos_ladder(jnp.asarray(xx), D)
+z = xx @ np.asarray(F._freq_matrix(D))
+err = max(np.abs(np.asarray(s_l) - np.sin(z)).max(), np.abs(np.asarray(c_l) - np.cos(z)).max())
+log(f"ladder max abs err vs libm over 10 octaves: {err:.2e}")
+
+fine_cfg = mlp_lib.MLPConfig(num_samples=NS)
+key = jax.random.PRNGKey(0)
+params = mlp_lib.init(key, fine_cfg)
+kp_full = F.kernel_params(params, fine_cfg)
+pts = jax.random.uniform(key, (N, 3), jnp.float32, -1.0, 1.0)
+spec0 = F.make_spec(fine_cfg, NS, jnp.bfloat16)
+TRUNK_FLOPS = 2 * N * 256 * (256 * 7 + 63)
+
+kp_split = {
+    "w0x": kp_full["w0i"][0:3], "w0s": kp_full["w0i"][3:33], "w0c": kp_full["w0i"][33:63],
+    "w5x": kp_full["w5i"][0:3], "w5s": kp_full["w5i"][3:33], "w5c": kp_full["w5i"][33:63],
+    "b0": kp_full["b0"], "wpo_t": kp_full["wpo_t"][:1], "bpo": kp_full["bpo"][:, :1],
+}
+for i in range(1, 8):
+    kp_split[f"w{i}"] = kp_full[f"w{i}"]
+    kp_split[f"b{i}"] = kp_full[f"b{i}"]
+SPLIT_KEYS = sorted(kp_split.keys())
+
+# NOTE: ladder emits OCTAVE-major [f0 xyz | f1 xyz | ...] same as
+# _freq_matrix's column order, so w0s/w0c row order matches directly.
+
+
+def ladder_kernel(spec, nkp, *refs):
+    pts_ref = refs[0]
+    kp = {k: r[:] for k, r in zip(SPLIT_KEYS, refs[1 : 1 + nkp])}
+    out_ref = refs[1 + nkp]
+    nh = spec.halves
+    tr_h = spec.tile_rays // nh
+    t_h = tr_h * spec.ns
+    sub = dataclasses.replace(spec, tile_rays=tr_h, halves=1)
+
+    def mm(a, b):
+        return jnp.dot(a.astype(sub.cdtype), b.astype(sub.cdtype),
+                       preferred_element_type=jnp.float32)
+
+    for hh in range(nh):
+        pts32 = pts_ref[hh * t_h : (hh + 1) * t_h, :]
+        x = pts32.astype(sub.cdtype)
+        s, c = sincos_ladder(pts32, D)
+        s = s.astype(sub.cdtype)
+        c = c.astype(sub.cdtype)
+        h = jax.nn.relu(mm(x, kp["w0x"]) + mm(s, kp["w0s"]) + mm(c, kp["w0c"]) + kp["b0"])
+        h = h.astype(sub.cdtype)
+        for i in range(1, 8):
+            acc = mm(h, kp[f"w{i}"])
+            if i == 5:
+                acc = acc + mm(x, kp["w5x"]) + mm(s, kp["w5s"]) + mm(c, kp["w5c"])
+            h = jax.nn.relu(acc + kp[f"b{i}"]).astype(sub.cdtype)
+        plane = F._head_planes(sub, h, kp["wpo_t"], kp["bpo"], 1)[0]
+        out_ref[hh * tr_h : (hh + 1) * tr_h, :] = plane
+
+
+def run(pts_in):
+    n = pts_in.shape[0]
+    grid = n // spec0.tile
+    in_specs = [F._row_spec(spec0.tile, 3)] + [F._weight_spec()] * len(SPLIT_KEYS)
+    inputs = [pts_in] + [kp_split[k] for k in SPLIT_KEYS]
+    return pl.pallas_call(
+        functools.partial(ladder_kernel, spec0, len(SPLIT_KEYS)),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[F._plane_spec(spec0)],
+        out_shape=[jax.ShapeDtypeStruct((n // NS, NS), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(flops=TRUNK_FLOPS, bytes_accessed=n * 12,
+                                      transcendentals=n * 6),
+    )(*inputs)
+
+
+def timed(name, program):
+    np.asarray(program())
+    t0 = time.perf_counter(); np.asarray(program()); dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); np.asarray(program()); dt = min(dt1, time.perf_counter() - t0)
+    ms = dt / REPS * 1e3
+    log(f"{name:10s} {ms:8.2f} ms   {TRUNK_FLOPS / (dt / REPS) / 1e12:6.1f} trunk-TFLOPS")
+    return round(ms, 3)
+
+
+def scan_reps(body):
+    def program():
+        def wrapped(carry, x):
+            return carry + body(x), None
+        out, _ = jax.lax.scan(wrapped, jnp.zeros((), jnp.float32),
+                              jnp.arange(REPS, dtype=jnp.float32))
+        return out
+    return jax.jit(program)
+
+
+results = {"ladder": timed("ladder", scan_reps(lambda x: jnp.sum(run(pts + x * 1e-6)[0]))),
+           "ladder_err": float(err)}
+print(json.dumps(results, indent=2))

@@ -62,6 +62,39 @@ def encode_parts(x: jnp.ndarray, degree: int):
     return x, jnp.sin(z), jnp.cos(z)
 
 
+def sincos_ladder(x: jnp.ndarray, degree: int, anchor_stride: int = 4):
+    """(sin, cos) blocks like `encode_parts`, via angle-doubling recurrences.
+
+    Library sin/cos are the PE's real cost on TPU (~30 VPU ops/element; the
+    published fine pass evaluates 47M of them — measured ~2 ms/pass,
+    scripts/kernel_lab5.py). Octave i+1 follows from octave i with 3 mults
+    and an add:  sin 2a = 2 sin a cos a,  cos 2a = 1 - 2 sin^2 a.
+    Every `anchor_stride`-th octave is recomputed with library sin/cos so
+    absolute error stays ~2^anchor_stride ulp (~2e-6 f32 for stride 4, far
+    below the bf16 cast these channels immediately undergo on the compute
+    path). Output channel order matches `encode_parts` (octave-major).
+
+    NOT used on the compute path: the recurrence chains octave i+1 on
+    octave i, so XLA materializes 2*degree NARROW (N, 3) intermediates
+    whose (8, 128) tile padding costs far more HBM than the saved
+    transcendentals (full-step 66.7k -> 49.5k rays/s measured on v5e).
+    Kept as the measured negative result + for hosts without fast sincos.
+    """
+    if degree == 0:
+        return None, None
+    ss, cs = [], []
+    for i in range(degree):
+        if i % anchor_stride == 0:
+            zi = x * (2.0**i)
+            ss.append(jnp.sin(zi))
+            cs.append(jnp.cos(zi))
+        else:
+            s, c = ss[-1], cs[-1]
+            ss.append(2.0 * s * c)
+            cs.append(1.0 - 2.0 * s * s)
+    return jnp.concatenate(ss, axis=-1), jnp.concatenate(cs, axis=-1)
+
+
 def blocked_to_reference_perm(degree: int, input_dims: int = 3):
     """perm such that encode(x)[..., perm[k]] == blocked channel k, where the
     blocked layout is [x | sin(f0..f_{D-1}) | cos(f0..f_{D-1})].

@@ -351,7 +351,12 @@ def _trunk_inputs(cfg: MLPConfig, pts: jnp.ndarray, cdtype):
     high-frequency channels to the views branch. The kernels used to encode
     in-VMEM; measured on v5e the narrow-lane sincos/concat relayouts cost
     +52% forward time (scripts/kernel_lab2.py), while XLA fuses this into
-    the points producer and streams wide rows to the kernel.
+    the points producer and streams wide rows to the kernel. Library sincos
+    on the WIDE (N, 3d) z beats the cheaper-in-FLOPs angle-doubling ladder
+    (`encoding.sincos_ladder`): the ladder's sequential recurrence makes
+    XLA materialize 2d narrow (N, 3) intermediates — the (8,128)-tile
+    blow-up costs far more than the transcendentals save (measured 66.7k ->
+    49.5k rays/s on the full step).
     """
     x, s, c = encoding.encode_parts(pts, cfg.points_pe_degree)
     x = x.astype(cdtype)
