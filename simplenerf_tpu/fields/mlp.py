@@ -445,31 +445,20 @@ def apply_fused_ensemble(
                 hvx = jnp.pad(hvx, ((0, pad_rays), (0, 0)))
             hvxs.append(hvx)
 
-    kps = tuple(fused_mlp.kernel_params(p, c) for p, c in members)
-    # Shared PE: one sincos at the ensemble-max degree, sliced per member
-    # (the in-kernel encode moved to XLA — see _trunk_inputs).
+    # Shared PE: ONE full-degree lo block for every member — the members'
+    # input joins are zero-row padded to the shared layout inside
+    # kernel_params, so no per-member lo stream or lane slicing exists.
     d_max = max(cfg.points_pe_degree for _, cfg in members)
+    kps = tuple(fused_mlp.kernel_params(p, c, shared_degree=d_max) for p, c in members)
+    cd = ens.members[0].cdtype
     x_all, s_all, c_all = encoding.encode_parts(pts_in, d_max)
-    encs = []
-    for (_, cfg), m in zip(members, ens.members):
-        x = x_all.astype(m.cdtype)
-        if cfg.points_pe_degree == 0:
-            encs.append((x, None))
-            continue
-        ds, d = cfg.sigma_pe_degree, cfg.points_pe_degree
+    if d_max == 0:
+        lo = x_all.astype(cd)
+    else:
         lo = jnp.concatenate(
-            [x, s_all[:, : 3 * ds].astype(m.cdtype), c_all[:, : 3 * ds].astype(m.cdtype)],
-            axis=-1,
+            [x_all.astype(cd), s_all.astype(cd), c_all.astype(cd)], axis=-1
         )
-        hi = None
-        if m.has_extra:
-            hi = jnp.concatenate(
-                [s_all[:, 3 * ds : 3 * d].astype(m.cdtype),
-                 c_all[:, 3 * ds : 3 * d].astype(m.cdtype)],
-                axis=-1,
-            )
-        encs.append((lo, hi))
-    planes = fused_mlp.fused_apply_ensemble(ens, kps, tuple(encs), tuple(hvxs))
+    planes = fused_mlp.fused_apply_ensemble(ens, kps, lo, tuple(hvxs))
 
     outs = []
     pos = 0

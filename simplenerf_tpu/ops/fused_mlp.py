@@ -86,6 +86,11 @@ class FusedSpec:
     # Mosaic can overlap one chain's VPU work (PE sin/cos, head reductions)
     # with the other's MXU matmuls. 1 = single chain.
     halves: int = 1
+    # Ensemble mode: all members read ONE shared full-degree lo block
+    # [x | s f<D | c f<D]; the member's input joins (w0i/w{i}i/wv0i) carry
+    # zero rows for the frequencies outside its own window (kernel_params
+    # `shared_degree`), so no per-member lane slicing or input stream exists.
+    shared_pe_degree: Optional[int] = None
 
     @property
     def tile(self) -> int:
@@ -101,13 +106,18 @@ class FusedSpec:
 
     @property
     def in_lo(self) -> int:
-        """Trunk input channels: [x | sin f<ds | cos f<ds]."""
-        return 3 + 6 * self.sigma_pe_degree
+        """Trunk input channels: [x | sin f<ds | cos f<ds] (or shared full)."""
+        d = self.shared_pe_degree if self.shared_pe_degree is not None else self.sigma_pe_degree
+        return 3 + 6 * d
 
     @property
     def in_hi(self) -> int:
-        """Views-branch extra channels: [sin f>=ds | cos f>=ds]."""
-        return 6 * (self.pe_degree - self.sigma_pe_degree) if self.has_extra else 0
+        """Views-branch extra channels: [sin f>=ds | cos f>=ds] (or shared full)."""
+        if not self.has_extra:
+            return 0
+        if self.shared_pe_degree is not None:
+            return 3 + 6 * self.shared_pe_degree
+        return 6 * (self.pe_degree - self.sigma_pe_degree)
 
     @property
     def n_planes(self) -> int:
@@ -168,7 +178,7 @@ def make_spec(cfg, ns: int, dtype) -> FusedSpec:
     )
 
 
-def kernel_params(params, cfg) -> dict:
+def kernel_params(params, cfg, shared_degree: Optional[int] = None) -> dict:
     """Re-slice canonical (reference-layout) params into kernel layout.
 
     Pure jnp gathers/transposes on weight ROWS — differentiable, so dW
@@ -177,19 +187,44 @@ def kernel_params(params, cfg) -> dict:
     matmul per join); head weights are transposed so the kernel reads
     per-channel (1, W) rows. The dirs rows of the first views-branch weight
     are NOT included (see `hv_extra` / `dirs_w`).
+
+    `shared_degree=D`: ensemble mode — the joins are zero-row padded to the
+    shared full-degree blocked layout [x | s f<D | c f<D] so every member
+    consumes the SAME lo block. Zero rows are literals; their dW is dropped
+    by the concat VJP, so gradients to the canonical pytree are unchanged.
     """
     ds = cfg.sigma_pe_degree
+    d = cfg.points_pe_degree
     p = cfg.points_input_dim
     perm_lo = np.asarray(encoding.blocked_to_reference_perm(ds))
 
+    def pad_lo(w):
+        """(3+6ds, W) [x|s<ds|c<ds] -> (3+6D, W) with zeros at f >= ds."""
+        if shared_degree is None or shared_degree == ds:
+            return w
+        z = jnp.zeros((3 * (shared_degree - ds), w.shape[1]), w.dtype)
+        return jnp.concatenate([w[: 3 + 3 * ds], z, w[3 + 3 * ds :], z])
+
+    def pad_hi(w):
+        """(6(d-ds), W) [s ds..d | c ds..d] -> (3+6D, W) full-layout pad."""
+        if shared_degree is None:
+            return w
+        D = shared_degree
+        nsd = 3 * (d - ds)
+        cols = w.shape[1]
+        z_head = jnp.zeros((3 + 3 * ds, cols), w.dtype)
+        z_tail = jnp.zeros((3 * (D - d), cols), w.dtype)
+        z_mid = jnp.zeros((3 * ds, cols), w.dtype)
+        return jnp.concatenate([z_head, w[:nsd], z_tail, z_mid, w[nsd:], z_tail])
+
     kp: dict = {}
     w0 = params["pts"][0]
-    kp["w0i"] = w0["w"][perm_lo]
+    kp["w0i"] = pad_lo(w0["w"][perm_lo])
     kp["b0"] = w0["b"][None]
     for i in range(1, cfg.points_net_depth):
         layer = params["pts"][i]
         if (i - 1) in cfg.skip_layers:
-            kp[f"w{i}i"] = layer["w"][:p][perm_lo]
+            kp[f"w{i}i"] = pad_lo(layer["w"][:p][perm_lo])
             kp[f"w{i}"] = layer["w"][p:]
         else:
             kp[f"w{i}"] = layer["w"]
@@ -207,7 +242,7 @@ def kernel_params(params, cfg) -> dict:
         if e:
             from simplenerf_tpu.fields.mlp import _extra_rows_perm
 
-            kp["wv0i"] = wv0["w"][wp : wp + e][np.asarray(_extra_rows_perm(cfg))]
+            kp["wv0i"] = pad_hi(wv0["w"][wp : wp + e][np.asarray(_extra_rows_perm(cfg))])
         for i in range(1, cfg.views_net_depth):
             kp[f"wv{i}"] = params["views"][i]["w"]
             kp[f"bv{i}"] = params["views"][i]["b"][None]
@@ -701,27 +736,29 @@ def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 8) -> EnsembleSpec
     """Spec for evaluating `cfgs` jointly at shared points.
 
     tile_rays is shared; member chains already provide the instruction-level
-    parallelism, so members run single-chain (halves=1).
+    parallelism, so members run single-chain (halves=1). All members read
+    one shared full-degree lo block (shared_pe_degree + zero-padded joins).
     """
+    d_max = max(cfg.points_pe_degree for cfg in cfgs)
     members = tuple(
-        dataclasses.replace(make_spec(cfg, ns, dtype), tile_rays=tile_rays, halves=1)
+        dataclasses.replace(
+            make_spec(cfg, ns, dtype), tile_rays=tile_rays, halves=1,
+            shared_pe_degree=d_max,
+        )
         for cfg in cfgs
     )
     return EnsembleSpec(members=members)
 
 
 def _parse_ens_refs(ens: EnsembleSpec, nkps, refs):
-    """Split the flat kernel ref list into ([(lo, hi)], {mi: hvx}, [kp dicts], rest)."""
+    """Split the flat kernel ref list into ([(lo, hi)], {mi: hvx}, [kp dicts], rest).
+
+    One SHARED full-degree lo block serves every member's trunk AND (via the
+    zero-padded wv0i) the views-branch extra input."""
     pos = 0
-    enc = []
-    for m in ens.members:
-        lo_ref = refs[pos]
-        pos += 1
-        hi_ref = None
-        if m.has_extra:
-            hi_ref = refs[pos]
-            pos += 1
-        enc.append((lo_ref, hi_ref))
+    lo_ref = refs[pos]
+    pos += 1
+    enc = [(lo_ref, lo_ref if m.has_extra else None) for m in ens.members]
     hvx_refs = {}
     for mi in ens.hvx_members:
         hvx_refs[mi] = refs[pos]
@@ -870,19 +907,13 @@ def _ens_bwd_kernel(ens: EnsembleSpec, nkps, *refs):
         pos += 1
 
 
-def _ens_inputs(ens: EnsembleSpec, kps, encs, hvxs):
+def _ens_inputs(ens: EnsembleSpec, kps, lo, hvxs):
     """Shared input plumbing for the ensemble fwd/bwd pallas_calls.
 
-    encs: per-member (lo, hi|None) XLA-precomputed PE inputs."""
+    lo: the ONE shared full-degree (N, 3+6*d_max) PE block."""
     t = ens.tile
-    in_specs = []
-    inputs = []
-    for m, (lo, hi) in zip(ens.members, encs):
-        in_specs.append(_row_spec(t, m.in_lo))
-        inputs.append(lo)
-        if m.has_extra:
-            in_specs.append(_row_spec(t, m.in_hi))
-            inputs.append(hi)
+    in_specs = [_row_spec(t, ens.members[0].in_lo)]
+    inputs = [lo]
     for slot, mi in enumerate(ens.hvx_members):
         in_specs.append(_row_spec(ens.tile_rays, ens.members[mi].views_width))
         inputs.append(hvxs[slot])
@@ -903,28 +934,28 @@ def _ens_flops(ens: EnsembleSpec, n: int, mult: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_apply_ensemble(ens: EnsembleSpec, kps: tuple, encs: tuple, hvxs: tuple):
+def fused_apply_ensemble(ens: EnsembleSpec, kps: tuple, lo: jnp.ndarray, hvxs: tuple):
     """Stacked evaluation of all ensemble members at shared points.
 
-    kps: tuple of kernel-param dicts (one per member, `kernel_params`
-    layout); encs: per-member (lo, hi|None) PE inputs, each (N, in_lo) /
-    (N, in_hi) cdtype with N % ens.tile == 0 (sincos computed ONCE in XLA,
-    sliced per member); hvxs: tuple of (N // ns, Wv) per-ray views-branch
-    addends for the members in `ens.hvx_members` order. Returns the flat
-    member-major tuple of (N // ns, ns) f32 raw head planes (each member's
-    points-head channels first, then views-head channels).
+    kps: tuple of kernel-param dicts (one per member, `kernel_params` with
+    shared_degree so joins are zero-padded to the full layout); lo: the ONE
+    shared (N, 3+6*d_max) cdtype PE block [x|s|c] with N % ens.tile == 0;
+    hvxs: tuple of (N // ns, Wv) per-ray views-branch addends for the
+    members in `ens.hvx_members` order. Returns the flat member-major tuple
+    of (N // ns, ns) f32 raw head planes (each member's points-head
+    channels first, then views-head channels).
     """
-    return _ens_fwd_call(ens, kps, encs, hvxs)
+    return _ens_fwd_call(ens, kps, lo, hvxs)
 
 
-def _ens_fwd_call(ens: EnsembleSpec, kps, encs, hvxs):
-    n = encs[0][0].shape[0]
+def _ens_fwd_call(ens: EnsembleSpec, kps, lo, hvxs):
+    n = lo.shape[0]
     t = ens.tile
     assert n % t == 0, (n, t)
     nr = n // ens.ns
     grid = n // t
 
-    in_specs, inputs, nkps = _ens_inputs(ens, kps, encs, hvxs)
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, lo, hvxs)
     out_shape = [jax.ShapeDtypeStruct((nr, ens.ns), jnp.float32)] * ens.n_planes
     out_specs = []
     for m in ens.members:
@@ -949,16 +980,16 @@ def _ens_fwd_call(ens: EnsembleSpec, kps, encs, hvxs):
     return tuple(outs)
 
 
-def _ens_fwd(ens, kps, encs, hvxs):
-    return _ens_fwd_call(ens, kps, encs, hvxs), (kps, encs, hvxs)
+def _ens_fwd(ens, kps, lo, hvxs):
+    return _ens_fwd_call(ens, kps, lo, hvxs), (kps, lo, hvxs)
 
 
 def _ens_bwd(ens, residuals, cotangents):
-    kps, encs, hvxs = residuals
-    n = encs[0][0].shape[0]
+    kps, lo, hvxs = residuals
+    n = lo.shape[0]
     grid = n // ens.tile
 
-    in_specs, inputs, nkps = _ens_inputs(ens, kps, encs, hvxs)
+    in_specs, inputs, nkps = _ens_inputs(ens, kps, lo, hvxs)
     for m in ens.members:
         in_specs += [_plane_spec(m)] * m.n_planes
     inputs += list(cotangents)
@@ -999,12 +1030,8 @@ def _ens_bwd(ens, residuals, cotangents):
         )
         pos += len(keys)
     dhvxs = tuple(outs[pos + i] for i in range(len(ens.hvx_members)))
-    # Sample positions carry no gradient, so neither do their encodings.
-    dencs = tuple(
-        (jnp.zeros_like(lo), jnp.zeros_like(hi) if hi is not None else None)
-        for lo, hi in encs
-    )
-    return tuple(dkps), dencs, dhvxs
+    # Sample positions carry no gradient, so neither does their encoding.
+    return tuple(dkps), jnp.zeros_like(lo), dhvxs
 
 
 fused_apply_ensemble.defvjp(_ens_fwd, _ens_bwd)
