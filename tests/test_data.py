@@ -141,7 +141,12 @@ class TestPreprocessor:
     def test_mip_nerf_radii(self, scene):
         """'mip_nerf' in data_loader caches per-pixel cone radii (+NDC),
         fills -1 on sparse-depth rows, and emits radii at test time
-        (reference DataPreprocessor01.py:33,236,396-412,638-653,887-892)."""
+        (reference DataPreprocessor01.py:33,236,396-412,638-653,887-892).
+
+        Deliberate divergence: the reference's test batches carry only
+        'radii_ndc' because its metric-radii line is an annotation-typo
+        no-op (`input_batch['radii']: ...`, :888); we emit the intended
+        metric key too (docs/PARITY.md)."""
         root, _ = scene
         cfgs = make_configs()
         cfgs["data_loader"]["mip_nerf"] = {}
