@@ -58,6 +58,10 @@ ITERS = int(os.environ.get("ABLATION_ITERS", "20000"))
 NUM_TRAIN = int(os.environ.get("ABLATION_TRAIN_VIEWS", "3"))
 # Published ramp RATIO: consistency from 10% of training.
 CONSISTENCY_START = int(os.environ.get("ABLATION_RAMP", str(ITERS // 10)))
+# The published recipe trains pure f32 (reference NerfLlffTrainerTester01.py
+# :443 mixed_precision off). bf16 runs showed late-training consistency-loss
+# spikes (RESULTS.md study 3); the method-proof study matches the recipe.
+DTYPE = os.environ.get("ABLATION_DTYPE", "float32")
 MASKS_DIRNAME = "VM02"
 
 
@@ -95,6 +99,7 @@ summary = {
     "iters": ITERS,
     "consistency_start_iter": CONSISTENCY_START,
     "num_train_views": NUM_TRAIN,
+    "compute_dtype": DTYPE,
     "scene": "textured blobs + textured bg plane",
 }
 
@@ -103,7 +108,7 @@ for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
         scene_id="blobs",
         num_iterations=ITERS,
         consistency_start_iter=CONSISTENCY_START,
-        compute_dtype="bfloat16",
+        compute_dtype=DTYPE,
         seed=0,
         with_augmentations=with_aug,
     )
