@@ -30,12 +30,16 @@ class Tester:
         train_configs: dict,
         model_configs: dict,
         compute_dtype: Optional[str] = None,
-        chunk: int = 64 * 1024,
+        chunk: Optional[int] = None,
     ):
         self.train_configs = train_configs
         self.model_configs = model_configs
-        self.chunk = chunk
         self.render_cfg = config_lib.render_config_from_dict(train_configs, compute_dtype)
+        if chunk is None:
+            # HBM-sized eval chunk: 64k rays x 192 samples fits in bf16 but
+            # overflows the 16G chip in f32 (measured 17.6G) — halve it.
+            chunk = 64 * 1024 if self.render_cfg.compute_dtype == "bfloat16" else 32 * 1024
+        self.chunk = chunk
         self.preprocessor = ScenePreprocessor(train_configs, "test", model_configs=model_configs)
         self.params = None
         self._eval_step = build_eval_renderer(self.render_cfg)
