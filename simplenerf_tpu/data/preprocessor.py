@@ -214,6 +214,29 @@ class ScenePreprocessor:
             self._preprocess_dense_depth(raw)
         if self.visibility_prior_needed and self.mode == "train":
             self._preprocess_visibility_prior(raw)
+        self._pack_cache()
+
+    def _pack_cache(self):
+        """Pack the f32 per-ray cache planes into one (N, C) array.
+
+        Per-field `jnp.take` produces ~10 narrow (nr, 1..3) gathers whose
+        (8, 128) tile padding costs ~1.7 ms/step (scripts/glue_lab.py);
+        one wide gather + lane slices is ~4x cheaper. The unpacked entries
+        stay for the full-frame/validation paths; `gather_batch` uses the
+        packed plane when given `packed_layout` (the train step does)."""
+        keys = sorted(
+            k for k, v in self.cache.items()
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 and v.ndim == 2
+        )
+        layout = []
+        start = 0
+        for k in keys:
+            w = int(self.cache[k].shape[1])
+            layout.append((k, start, w))
+            start += w
+        self.packed_layout = tuple(layout)
+        if keys:
+            self.cache["_packed"] = jnp.concatenate([self.cache[k] for k in keys], axis=1)
 
     def _preprocess_images(self, images: np.ndarray) -> np.ndarray:
         images = images.astype(np.float32) / 255.0
@@ -458,13 +481,24 @@ class ScenePreprocessor:
         return out
 
 
-def gather_batch(cache: dict, common: dict, consts: dict, indices, mask_nerf, mask_sd) -> dict:
+def gather_batch(cache: dict, common: dict, consts: dict, indices, mask_nerf, mask_sd,
+                 packed_layout: tuple = ()) -> dict:
     """Pure device-side gather of a training batch from the ray cache.
 
     Called inside the jitted train step; `indices` is the only per-iteration
-    host->device transfer.
+    host->device transfer. With `packed_layout` (the preprocessor's
+    `(key, start, width)` tuple) the f32 fields come from ONE wide gather of
+    the `_packed` plane + lane slices instead of ~10 narrow gathers.
     """
-    batch = {k: jnp.take(v, indices, axis=0) for k, v in cache.items()}
+    cache = dict(cache)
+    packed = cache.pop("_packed", None)
+    batch = {}
+    if packed is not None and packed_layout:
+        rows = jnp.take(packed, indices, axis=0)
+        for k, s, w in packed_layout:
+            batch[k] = rows[:, s : s + w]
+            cache.pop(k, None)
+    batch.update({k: jnp.take(v, indices, axis=0) for k, v in cache.items()})
     nr = indices.shape[0]
     for key in ("radii", "radii_ndc"):
         # Radii exist only for NeRF rays; sparse-depth rows carry the

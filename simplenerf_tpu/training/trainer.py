@@ -36,6 +36,33 @@ from simplenerf_tpu.training.lr_decay import make_lr_schedule
 from simplenerf_tpu.utils import profiling
 
 
+def flat_adam(lr_schedule, b1: float = 0.9, b2: float = 0.999):
+    """optax.adam over ONE flattened parameter vector.
+
+    The SimpleNeRF ensemble is ~120 small tensors across 4 MLPs; per-tensor
+    Adam pays (8, 128) tile padding and per-op overhead ~10x the arithmetic
+    (measured 1.44 ms/step vs a ~0.15 ms roofline, scripts/glue_lab.py).
+    Gradients are raveled to one contiguous vector, adam runs there, and the
+    updates unravel back — the ravel/unravel are two fused concat/split
+    passes over 10 MB. Mathematically identical to per-leaf adam (adam is
+    elementwise). Optimizer-state checkpoints hold the flat vectors.
+    """
+    import jax.flatten_util
+
+    inner = optax.adam(lr_schedule, b1=b1, b2=b2)
+
+    def init(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        flat_g, unravel = jax.flatten_util.ravel_pytree(grads)
+        flat_u, state = inner.update(flat_g, state, None)
+        return unravel(flat_u), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def loss_context_from_configs(configs: dict) -> LossContext:
     model = configs["model"]
     return LossContext(
@@ -65,7 +92,7 @@ class Trainer:
         self.loss_computer = LossComputer(configs["losses"], loss_context_from_configs(configs))
         opt_cfg = configs["optimizer"]
         self.lr_schedule = make_lr_schedule(opt_cfg, configs.get("num_iterations", 0))
-        self.opt = optax.adam(
+        self.opt = flat_adam(
             self.lr_schedule, b1=opt_cfg.get("beta1", 0.9), b2=opt_cfg.get("beta2", 0.999)
         )
 
@@ -119,9 +146,11 @@ class Trainer:
         loss_computer = self.loss_computer
         opt = self.opt
         consts = self.train_pp.batch_constants()
+        layout = getattr(self.train_pp, "packed_layout", ())
 
         def step(params, opt_state, cache, common, indices, mask_nerf, mask_sd, key, weights):
-            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd)
+            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd,
+                                 packed_layout=layout)
 
             def loss_fn(p):
                 outputs = renderer.render_rays(p, render_cfg, batch, key, train=True)
@@ -143,13 +172,15 @@ class Trainer:
         loss_computer = self.loss_computer
         opt = self.opt
         consts = self.train_pp.batch_constants()
+        layout = getattr(self.train_pp, "packed_layout", ())
         base_key = self.base_key
 
         def body(carry, xs, cache, common):
             params, opt_state = carry
             indices, mask_nerf, mask_sd, iter_num, weights = xs
             key = jax.random.fold_in(base_key, iter_num)
-            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd)
+            batch = gather_batch(cache, common, consts, indices, mask_nerf, mask_sd,
+                                 packed_layout=layout)
 
             def loss_fn(p):
                 outputs = renderer.render_rays(p, render_cfg, batch, key, train=True)
