@@ -223,7 +223,12 @@ class ScenePreprocessor:
         (8, 128) tile padding costs ~1.7 ms/step (scripts/glue_lab.py);
         one wide gather + lane slices is ~4x cheaper. The unpacked entries
         stay for the full-frame/validation paths; `gather_batch` uses the
-        packed plane when given `packed_layout` (the train step does)."""
+        packed plane when given `packed_layout` (the train step does).
+        Validation/test preprocessors never take the packed path, so they
+        skip the pack (it would double the ray cache's HBM for nothing)."""
+        if self.mode != "train":
+            self.packed_layout = ()
+            return
         keys = sorted(
             k for k, v in self.cache.items()
             if hasattr(v, "dtype") and v.dtype == jnp.float32 and v.ndim == 2

@@ -134,10 +134,19 @@ class Trainer:
             if self.render_cfg.predict_visibility
             else self._eval_step
         )
-        self._val_loss_step = jax.jit(
+        # Two validation loss programs: loss maps (incl. the full-frame
+        # patch-reprojection arbitration) are only computed when the config
+        # asks for them — the reference gates map computation the same way,
+        # and each validation shape costs a minutes-long compile here.
+        self._val_loss_step_maps = jax.jit(
             lambda batch, outputs, weights: self.loss_computer.compute(
                 batch, outputs, weights, return_loss_maps=True
             )[1:]
+        )
+        self._val_loss_step = jax.jit(
+            lambda batch, outputs, weights: self.loss_computer.compute(
+                batch, outputs, weights
+            )[1]
         )
 
     # ------------------------------------------------------------------
@@ -369,7 +378,7 @@ class Trainer:
             eval_step = self._eval_step_vis if is_train_data else self._eval_step
             frame_nums = [int(f) for f in pp.frame_nums]
             totals: dict = {}
-            psnr_mse = 0.0
+            psnr_sum = 0.0
             for frame_num in frame_nums:
                 indices, mask_nerf, _ = pp.next_indices(0, image_num=frame_num)
                 batch = gather_batch(
@@ -377,17 +386,23 @@ class Trainer:
                     jnp.asarray(indices), jnp.asarray(mask_nerf), None,
                 )
                 outputs = render_in_chunks(eval_step, self.params, batch, chunk)
-                values, maps = self._val_loss_step(batch, outputs, weights)
+                if save_loss_maps:
+                    values, maps = self._val_loss_step_maps(batch, outputs, weights)
+                else:
+                    values, maps = self._val_loss_step(batch, outputs, weights), {}
                 for name, v in values.items():
                     totals[name] = totals.get(name, 0.0) + float(v)
                 finest = "fine" if "rgb_fine" in outputs else "coarse"
                 target = np.asarray(pp.images[np.where(pp.frame_nums == frame_num)[0].item()])
-                psnr_mse += float(
+                frame_mse = float(
                     np.mean(
                         (np.asarray(outputs[f"rgb_{finest}"], np.float32).reshape(h, w, 3) - target)
                         ** 2
                     )
                 )
+                # Mean of per-frame PSNRs (the usual convention and the QA
+                # suite's aggregation), not PSNR of the mean MSE.
+                psnr_sum += -10.0 * np.log10(max(frame_mse, 1e-12))
 
                 for mode in ("coarse", "fine"):
                     if f"rgb_{mode}" not in outputs:
@@ -433,7 +448,7 @@ class Trainer:
 
             n = max(len(frame_nums), 1)
             scalars = {f"validation/{tag}/{k}": v / n for k, v in totals.items()}
-            scalars[f"validation/{tag}/psnr"] = -10 * np.log10(max(psnr_mse / n, 1e-12))
+            scalars[f"validation/{tag}/psnr"] = psnr_sum / n
             self.logger.log_scalars(iteration, scalars)
 
 

@@ -67,6 +67,60 @@ class TestMetrics:
         p[8:] = 100
         assert M.masked_depth_rmse(g, p, mask) < 1e-9
 
+    def test_lpips_splice_with_stub_network(self, monkeypatch):
+        """Pin the GT-splice masked-LPIPS semantics (reference
+        MaskedLPIPS02_NeRF_LLFF.py:38-47: eval pixels OUTSIDE the mask are
+        replaced by GT before the network) against a tiny deterministic
+        stand-in model, so the path is tested without the lpips package."""
+        import torch
+
+        class StubNet:
+            def __call__(self, a, b):
+                # Deterministic stand-in: any strictly input-dependent
+                # distance works for pinning the splice semantics.
+                assert a.shape == b.shape and a.ndim == 4 and a.shape[1] == 3
+                assert float(a.max()) <= 1.0 and float(a.min()) >= -1.0
+                return (a - b).abs().mean()
+
+        monkeypatch.setattr(M, "_lpips_model", StubNet())
+        assert M.lpips_available()
+
+        rng = np.random.default_rng(0)
+        gt = rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+        pred = rng.integers(0, 256, (16, 20, 3)).astype(np.uint8)
+        mask = np.zeros((16, 20), bool)
+        mask[:, :10] = True
+
+        # Plain LPIPS: zero on identical frames, = stub distance otherwise
+        # (checks the reference's exact 2/255-1 normalization, im2tensor).
+        assert M.lpips(gt, gt) == 0.0
+        expected = float(np.abs(gt.astype(np.float32) - pred).mean() * 2 / 255)
+        np.testing.assert_allclose(M.lpips(gt, pred), expected, rtol=1e-6)
+
+        # Masked: equals plain LPIPS against the hand-spliced frame.
+        mask3 = np.stack([mask] * 3, axis=2)
+        spliced = mask3 * pred + (~mask3) * gt
+        np.testing.assert_allclose(
+            M.masked_lpips(gt, pred, mask), M.lpips(gt, spliced), rtol=1e-6
+        )
+        # All-False mask -> spliced == gt -> 0; all-True -> plain LPIPS.
+        assert M.masked_lpips(gt, pred, np.zeros_like(mask)) == 0.0
+        np.testing.assert_allclose(
+            M.masked_lpips(gt, pred, np.ones_like(mask)), M.lpips(gt, pred), rtol=1e-6
+        )
+        # Corrupting pred OUTSIDE the mask must not change the score;
+        # corrupting INSIDE must.
+        outside = pred.copy()
+        outside[:, 10:] = 0
+        np.testing.assert_allclose(
+            M.masked_lpips(gt, outside, mask), M.masked_lpips(gt, pred, mask), rtol=1e-6
+        )
+        inside = pred.copy()
+        inside[:, :10] = 255 - inside[:, :10]
+        assert M.masked_lpips(gt, inside, mask) != pytest.approx(
+            M.masked_lpips(gt, pred, mask)
+        )
+
     def test_combine_visibility(self):
         masks = np.array([[[1, 0, 1]], [[1, 0, 0]], [[0, 0, 1]]], dtype=bool)
         out = M.combine_visibility_masks(masks)

@@ -61,6 +61,40 @@ class TestTraining:
             np.testing.assert_allclose(a, b)
         trainer2.train()  # runs 30 more without error
 
+    def test_resume_migrates_per_leaf_adam_checkpoint(self, scene, tmp_path):
+        """Checkpoints written before the flat-vector Adam change hold
+        per-leaf moment pytrees; resume must migrate them (ravel in the
+        params flatten order) rather than crash in from_state_dict."""
+        import jax.flatten_util
+        import optax
+
+        from simplenerf_tpu.training import checkpoints
+
+        root, _ = scene
+        trainer, cfg, pp = build_trainer(root, tmp_path / "run", iters=60)
+        trainer.train(30)
+        params = jax.device_get(trainer.params)
+        # Rebuild the OLD layout with the moments the flat state holds now.
+        flat_state = jax.device_get(trainer.opt_state)
+        _, unravel = jax.flatten_util.ravel_pytree(params)
+        old_scale = flat_state[0]._replace(
+            mu=unravel(flat_state[0].mu), nu=unravel(flat_state[0].nu)
+        )
+        old_state = (old_scale,) + tuple(flat_state[1:])
+        ckpt_dir = tmp_path / "run/saved_models"
+        for p in ckpt_dir.glob("Model_*"):
+            p.unlink()
+        checkpoints.save_checkpoint(ckpt_dir, 30, params, old_state)
+
+        with pytest.warns(UserWarning, match="migrated per-leaf Adam"):
+            trainer2, _, _ = build_trainer(root, tmp_path / "run", iters=60)
+        assert trainer2.start_iter == 30
+        mig = jax.device_get(trainer2.opt_state)
+        np.testing.assert_allclose(mig[0].mu, flat_state[0].mu)
+        np.testing.assert_allclose(mig[0].nu, flat_state[0].nu)
+        assert int(mig[0].count) == int(flat_state[0].count)
+        trainer2.train()  # continues without error
+
     def test_tester_end_to_end(self, scene, tmp_path):
         root, gt = scene
         trainer, cfg, pp = build_trainer(root, tmp_path / "run", iters=300)
@@ -147,6 +181,14 @@ class TestShardedTraining:
         np.testing.assert_allclose(
             float(v1["TotalLoss"]), float(v2["TotalLoss"]), rtol=2e-4
         )
+        # Tight oracle on the 3-step prefix: reduction-order drift is still
+        # negligible here, so a systematic sharding error (wrong psum,
+        # missing normalization) cannot hide under the soak tolerance below.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(t1.params)),
+            jax.tree_util.tree_leaves(jax.device_get(t2.params)),
+        ):
+            np.testing.assert_allclose(a, b, atol=2e-5)
         v1 = t1.train_many(3, 97)
         v2 = t2.train_many(3, 97)
         np.testing.assert_allclose(
