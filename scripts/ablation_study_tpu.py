@@ -62,6 +62,10 @@ CONSISTENCY_START = int(os.environ.get("ABLATION_RAMP", str(ITERS // 10)))
 # :443 mixed_precision off). bf16 runs showed late-training consistency-loss
 # spikes (RESULTS.md study 3); the method-proof study matches the recipe.
 DTYPE = os.environ.get("ABLATION_DTYPE", "float32")
+# Consistency-depth clamp (x far plane): the bf16 spike guard
+# (losses/consistency.py depth_clip). Empty = reference-exact (no clamp).
+CLIP = os.environ.get("ABLATION_DEPTH_CLIP", "")
+CLIP = float(CLIP) if CLIP else None
 # Depth-prior strength: the paper's COLMAP priors are sparse and noisy on
 # texture-poor regions; the study-1..4 default (96 pts/frame, 2% noise) is
 # an unrealistically strong DS-NeRF anchor on a synthetic scene.
@@ -106,6 +110,7 @@ summary = {
     "consistency_start_iter": CONSISTENCY_START,
     "num_train_views": NUM_TRAIN,
     "compute_dtype": DTYPE,
+    "consistency_depth_clip": CLIP,
     "sparse_points_per_frame": SPARSE_POINTS,
     "sparse_depth_noise": SPARSE_NOISE,
     "scene": "textured blobs + textured bg plane",
@@ -119,6 +124,7 @@ for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
         compute_dtype=DTYPE,
         seed=0,
         with_augmentations=with_aug,
+        consistency_depth_clip=CLIP,
     )
     cfg["train_num"] = train_num
     cfg["steps_per_call"] = 50

@@ -222,9 +222,16 @@ def generate_scene(
         ("ValidationVideosData", val_frames),
         ("TestVideosData", test_frames),
     ):
-        pd.DataFrame({"scene_name": scene_name, "pred_frame_num": list(frames)}).to_csv(
-            sets_dir / f"{name}.csv", index=False
-        )
+        # Split CSVs accumulate across scenes (multi-scene databases, like
+        # the reference's 8-scene LLFF set CSVs); regenerating a scene
+        # replaces its rows.
+        csv_path = sets_dir / f"{name}.csv"
+        new = pd.DataFrame({"scene_name": scene_name, "pred_frame_num": list(frames)})
+        if csv_path.exists():
+            old = pd.read_csv(csv_path)
+            old = old[old["scene_name"].astype(str) != str(scene_name)]
+            new = pd.concat([old, new], ignore_index=True)
+        new.to_csv(csv_path, index=False)
 
     # COLMAP-style sparse depth CSVs from ground-truth depth + noise.
     sd_dir = root / f"all/estimated_depths/DE02/{scene_name}/estimated_depths{resolution_suffix}"

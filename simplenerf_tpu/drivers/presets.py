@@ -57,6 +57,7 @@ def simplenerf_config(
     compute_dtype: str = "float32",
     with_augmentations: bool = True,
     with_sparse_depth: bool = True,
+    consistency_depth_clip: float | None = None,
 ) -> dict:
     cfg: dict = {
         "train_num": 1,
@@ -134,7 +135,7 @@ def simplenerf_config(
                 {"name": "SparseDepthMSE02", "weight": 0.1},
                 {"name": "SparseDepthMSE03", "weight": 0.1},
             ]
-        cfg["losses"] += [
+        consistency = [
             {"name": "PointsAugmentationDepthLoss02", "iter_weights": dict(ramp),
              "rmse_threshold": 0.1, "patch_size": [5, 5]},
             {"name": "ViewsAugmentationDepthLoss02", "iter_weights": dict(ramp),
@@ -142,6 +143,13 @@ def simplenerf_config(
             {"name": "CoarseFineConsistencyLoss02", "iter_weights": dict(ramp),
              "rmse_threshold": 0.1, "patch_size": [5, 5]},
         ]
+        if consistency_depth_clip is not None:
+            # TPU bf16 recipe: bound the NDC->metric pole at the consistency
+            # inputs (losses/consistency.py) so bf16 trunk noise cannot blow
+            # up the late-training losses. None = reference-exact f32 recipe.
+            for spec in consistency:
+                spec["depth_clip"] = consistency_depth_clip
+        cfg["losses"] += consistency
     return copy.deepcopy(cfg)
 
 

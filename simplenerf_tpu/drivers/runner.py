@@ -115,9 +115,14 @@ def start_testing(
     output_dirpath: Path,
     run_qa: bool = True,
     gt_depth_dirpath: Optional[Path] = None,
-    depth_scale: float = 1.0,
+    depth_scale="auto",
 ) -> dict:
-    """Render all test frames for every scene, then run the QA suite."""
+    """Render all test frames for every scene, then run the QA suite.
+
+    depth_scale: float, {scene: float}, or "auto" (the default) which reads
+    each scene's 1/translation_scale from its training ModelConfigs — the
+    normalized-frame -> world-unit factor for the QA depth families.
+    """
     database_dirpath = Path(database_dirpath)
     test_num = test_configs.get("test_num", 0)
     train_num = test_configs.get("train_num", 0)
@@ -132,8 +137,12 @@ def start_testing(
     scene_ids = test_configs.get("scene_names") or resolve_scene_ids(train_configs, database_dirpath)
 
     scene_names, train_frames, test_frames = [], {}, {}
+    scale_by_scene = {}
     for scene_id in scene_ids:
         key = scene_key(train_configs, scene_id)
+        if depth_scale == "auto":
+            mc = json.loads((train_run_dir / key / "ModelConfigs.json").read_text())
+            scale_by_scene[key] = 1.0 / float(mc.get("translation_scale", 1.0))
         tester = load_scene_tester(train_run_dir, scene_id, test_configs)
         test_nums, test_loader = _scene_frames(database_dirpath, train_configs, scene_id, "test")
         train_nums, _ = _scene_frames(database_dirpath, train_configs, scene_id, "train")
@@ -169,7 +178,7 @@ def start_testing(
             resolution_suffix=train_configs["data_loader"]["resolution_suffix"],
             masks_dirname=test_configs.get("qa_masks_dirname"),
             gt_depth_dirpath=gt_depth_dirpath,
-            depth_scale=depth_scale,
+            depth_scale=scale_by_scene if depth_scale == "auto" else depth_scale,
         )
         scores = runner.run()
     return scores

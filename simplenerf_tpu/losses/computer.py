@@ -34,6 +34,10 @@ class LossContext:
 def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
     patch = tuple(loss_cfg.get("patch_size", (5, 5)))
     thr = float(loss_cfg.get("rmse_threshold", 0.1))
+    # Optional consistency-depth clamp at depth_clip x the scene far plane
+    # (TPU bf16 spike guard, see consistency.reliable_depth_consistency).
+    clip = loss_cfg.get("depth_clip")
+    clip = float(clip) if clip is not None else None
     builders = {
         "MSE01": lambda: photometric.make_photometric_loss(""),
         "MSE02": lambda: photometric.make_photometric_loss("points_augmentation_"),
@@ -50,17 +54,17 @@ def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
             "points_augmentation_", ctx.points_aug_fine
         ),
         "PointsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "points_augmentation_", patch, thr, ctx.points_aug_fine
+            "points_augmentation_", patch, thr, ctx.points_aug_fine, clip
         ),
         "ViewsAugmentationDepthLoss01": lambda: consistency.make_plain_depth_consistency(
             "views_augmentation_", ctx.views_aug_fine
         ),
         "ViewsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "views_augmentation_", patch, thr, ctx.views_aug_fine
+            "views_augmentation_", patch, thr, ctx.views_aug_fine, clip
         ),
         "CoarseFineConsistencyLoss01": lambda: consistency.make_plain_coarse_fine_consistency(),
         "CoarseFineConsistencyLoss02": lambda: consistency.make_reliable_coarse_fine_consistency(
-            patch, thr, ctx.sparse_depth_enabled
+            patch, thr, ctx.sparse_depth_enabled, clip
         ),
         "VisibilityLoss01": lambda: visibility.make_visibility_loss(),
         "VisibilityPriorLoss01": lambda: visibility.make_visibility_prior_loss(),

@@ -84,12 +84,21 @@ def make_plain_coarse_fine_consistency():
     return loss_fn
 
 
+def _clip_depth(depth: jnp.ndarray, batch: dict, depth_clip):
+    """Clamp metric depth at depth_clip x the scene far plane (see
+    reliable_depth_consistency). Identity when depth_clip is None."""
+    if depth_clip is None:
+        return depth
+    return jnp.minimum(depth, depth_clip * batch["far"][:, 0])
+
+
 def reliable_depth_consistency(
     depth1: jnp.ndarray,
     depth2: jnp.ndarray,
     batch: dict,
     patch_size: tuple[int, int],
     rmse_threshold: float,
+    depth_clip=None,
 ):
     """Patch-reprojection-arbitrated bidirectional depth consistency.
 
@@ -99,8 +108,20 @@ def reliable_depth_consistency(
     loss ON depth1 (zeroed where model 2 is not the reliable teacher), map2
     the loss ON depth2 (reference compute_loss_nerf's depth_mse_map1/2,
     CoarseFineConsistencyLoss02.py:171-175, masked lanes set to 0 :216-224).
+
+    depth_clip (TPU extension, default None = reference-exact): clamp both
+    depths at depth_clip x the scene far plane before arbitration and MSE.
+    The NDC->metric conversion 1/(1 - z + 1e-6) (reference SimpleNeRF01.py
+    :486-501) is unbounded as z -> 1; rays whose sample weights drift past
+    the far plane produce consistency errors quadratic in that pole, which
+    bf16 trunk noise amplifies ~80x into loss spikes (RESULTS.md studies
+    3-4). Clamping bounds the error where the reference's own value is
+    extrapolation beyond the scene anyway, and zeroes the teaching gradient
+    on clamped rays (d min/dx = 0 there).
     """
     rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    depth1 = _clip_depth(depth1, batch, depth_clip)
+    depth2 = _clip_depth(depth2, batch, depth_clip)
     nerf_mask = batch["indices_mask_nerf"]
     pixel_ids = batch["pixel_id"]
     scene = batch["common"]
@@ -159,6 +180,7 @@ def make_reliable_depth_consistency(
     patch_size: tuple[int, int] = (5, 5),
     rmse_threshold: float = 0.1,
     aug_fine_present: bool = False,
+    depth_clip=None,
 ):
     """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}.
 
@@ -174,7 +196,8 @@ def make_reliable_depth_consistency(
             main_key, aug_key = f"depth_{level}", f"{prefix}depth_{level}"
             if main_key in outputs and aug_key in outputs:
                 value, map_main, map_aug = reliable_depth_consistency(
-                    outputs[main_key], outputs[aug_key], batch, patch_size, rmse_threshold
+                    outputs[main_key], outputs[aug_key], batch, patch_size,
+                    rmse_threshold, depth_clip,
                 )
                 total += value
                 maps[f"{map_name}_{level}_main"] = map_main
@@ -188,6 +211,7 @@ def make_reliable_coarse_fine_consistency(
     patch_size: tuple[int, int] = (5, 5),
     rmse_threshold: float = 0.1,
     sparse_depth_enabled: bool = True,
+    depth_clip=None,
 ):
     """CoarseFineConsistencyLoss02: arbitrated coarse<->fine + the sparse-depth
     branch where detached fine depth teaches coarse (reference :174-189).
@@ -198,7 +222,8 @@ def make_reliable_coarse_fine_consistency(
     def loss_fn(batch: dict, outputs: dict, return_maps: bool = False):
         if "depth_coarse" not in outputs or "depth_fine" not in outputs:
             return (jnp.asarray(0.0), {}) if return_maps else jnp.asarray(0.0)
-        dc, df = outputs["depth_coarse"], outputs["depth_fine"]
+        dc = _clip_depth(outputs["depth_coarse"], batch, depth_clip)
+        df = _clip_depth(outputs["depth_fine"], batch, depth_clip)
         total, map_coarse, map_fine = reliable_depth_consistency(
             dc, df, batch, patch_size, rmse_threshold
         )

@@ -52,6 +52,8 @@ class QARunner:
     pred_dirpath: directory holding predicted_frames/ (+ predicted_depths/).
     gt_depth_dirpath: directory with pseudo-GT depths <scene>/{frame:04}.npy
     (the reference renders these with a dense-input NeRF).
+    depth_scale: predicted-depth -> world-unit factor; a float, or a
+    {scene_name: float} dict when scenes have different translation scales.
     """
 
     def __init__(
@@ -97,7 +99,14 @@ class QARunner:
 
     def _pred_depth(self, scene: str, frame_num: int) -> Optional[np.ndarray]:
         path = self.pred_dirpath / scene / f"predicted_depths/{frame_num:04}.npy"
-        return np.load(path) * self.depth_scale if path.exists() else None
+        if not path.exists():
+            return None
+        # Normalized-frame -> world units; per-scene when scales differ
+        # (each scene has its own translation_scale).
+        scale = (
+            self.depth_scale[scene] if isinstance(self.depth_scale, dict) else self.depth_scale
+        )
+        return np.load(path) * scale
 
     def _mask(self, scene: str, frame_num: int) -> Optional[np.ndarray]:
         if self.masks_dirname is None:

@@ -141,6 +141,30 @@ class TestReliableConsistency:
         loss, _, _ = consistency.reliable_depth_consistency(d1, d2, batch, (5, 5), 0.1)
         np.testing.assert_allclose(float(loss), 0.0, atol=1e-7)
 
+    def test_depth_clip_bounds_pole_rays(self):
+        """depth_clip clamps pole-magnitude depths at clip x far and zeroes
+        their teaching gradient; clip=None stays reference-exact."""
+        batch, d1, d2 = arbitration_batch()
+        batch["far"] = jnp.full((4, 1), 2.0)
+        # Ray 0's wrong-model depth explodes toward the NDC z->1 pole.
+        d2 = d2.at[0].set(1e5)
+
+        def f(d1_, d2_, clip):
+            return consistency.reliable_depth_consistency(
+                d1_, d2_, batch, (5, 5), 0.1, depth_clip=clip)[0]
+
+        loss_unclipped = float(f(d1, d2, None))
+        assert loss_unclipped > 1e8  # quadratic in the pole
+        # clip at 3x far=2.0 -> pole ray clamps to 6.0: bounded loss.
+        loss_clipped = float(f(d1, d2, 3.0))
+        assert loss_clipped < 50.0
+        np.testing.assert_allclose(
+            loss_clipped, (3 * (5 - 1) ** 2 + (6 - 1) ** 2) / 4, atol=1e-4)
+        g2 = jax.grad(f, argnums=1)(d1, d2, 3.0)
+        # Clamped ray: d min(d2, 6)/d d2 = 0 -> no runaway gradient.
+        np.testing.assert_allclose(float(g2[0]), 0.0, atol=1e-7)
+        assert abs(float(g2[1])) > 0.1  # unclamped rays still teach
+
     def test_coarse_fine_sd_branch(self):
         batch, d1, d2 = arbitration_batch()
         batch["indices_mask_nerf"] = jnp.array([True, True, False, False])

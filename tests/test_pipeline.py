@@ -16,32 +16,41 @@ from simplenerf_tpu.priors import colmap as colmap_lib
 
 @pytest.fixture(scope="module")
 def scene(tmp_path_factory):
+    # TWO scenes in one database: the split CSVs accumulate rows and the
+    # driver's scene loop + QA scene-wise roll-up must handle both
+    # (reference runs 8 LLFF scenes per set, SceneWiseGrouper.py:17-33).
     root = tmp_path_factory.mktemp("db")
     gt = generate_scene(root, num_frames=5, h=24, w=32, num_train=3, seed=3)
-    return root, gt
+    gt2 = generate_scene(root, scene_name="rocks", num_frames=5, h=24, w=32,
+                         num_train=3, seed=11)
+    return root, gt, gt2
 
 
 class TestDriverPipeline:
     def test_train_test_videos_qa(self, scene, tmp_path):
-        root, gt = scene
+        root, gt, gt2 = scene
         train_configs = tiny_synthetic_config(num_iterations=200)
         train_configs["train_num"] = 9
-        train_configs["data_loader"]["scene_names"] = ["blobs"]
+        # No scene_names override: the driver resolves BOTH scenes from the
+        # split CSV (reference scene loop, NerfLlffTrainerTester01.py).
+        train_configs["data_loader"].pop("scene_names", None)
         out = tmp_path / "runs"
 
         run_dir = runner.start_training(train_configs, root, out)
         assert (run_dir / "Configs.json").exists()
-        assert (run_dir / "blobs/ModelConfigs.json").exists()
-        assert (run_dir / "blobs/saved_models/Model_Latest.msgpack").exists()
+        for sc in ("blobs", "rocks"):
+            assert (run_dir / sc / "ModelConfigs.json").exists()
+            assert (run_dir / sc / "saved_models/Model_Latest.msgpack").exists()
 
-        # GT depths for the depth metrics (the synthetic scene has real GT).
+        # GT depths for the depth metrics (the synthetic scenes have real GT).
         gt_depth_dir = tmp_path / "gt_depth"
-        for f in gt["test_frames"]:
-            (gt_depth_dir / "blobs").mkdir(parents=True, exist_ok=True)
-            np.save(gt_depth_dir / "blobs" / f"{f:04}.npy", gt["depths"][f])
+        for sc, g in (("blobs", gt), ("rocks", gt2)):
+            (gt_depth_dir / sc).mkdir(parents=True, exist_ok=True)
+            for f in g["test_frames"]:
+                np.save(gt_depth_dir / sc / f"{f:04}.npy", g["depths"][f])
 
         test_configs = {
-            "test_num": 9, "train_num": 9, "scene_names": ["blobs"],
+            "test_num": 9, "train_num": 9, "scene_names": None,
         }
         scores = runner.start_testing(
             test_configs, root, out, gt_depth_dirpath=gt_depth_dir
@@ -50,9 +59,19 @@ class TestDriverPipeline:
         for f in gt["test_frames"]:
             assert (test_dir / f"blobs/predicted_frames/{f:04}.png").exists()
             assert (test_dir / f"blobs/predicted_depths/{f:04}.npy").exists()
+        for f in gt2["test_frames"]:
+            assert (test_dir / f"rocks/predicted_frames/{f:04}.png").exists()
         assert "PSNR" in scores and "SSIM" in scores and "DepthMAE" in scores
         assert scores["PSNR"] > 12  # tiny model, but far better than random
         assert (test_dir / "QA_Scores.json").exists()
+
+        # Scene-wise roll-up: per-scene rows for both scenes, and the
+        # overall score is the mean over ALL frames of both scenes.
+        sw = pd.read_csv(test_dir / "QA_Scores/PSNR_SceneWise.csv")
+        assert sorted(sw["scene_name"].astype(str)) == ["blobs", "rocks"]
+        fw = pd.read_csv(test_dir / "QA_Scores/PSNR_FrameWise.csv")
+        assert len(fw) == len(gt["test_frames"]) + len(gt2["test_frames"])
+        assert abs(scores["PSNR"] - fw["PSNR"].mean()) < 1e-3
 
         # Depth scale: predicted depths are in the normalized frame. SROCC is
         # scale-free and must be decent even for a tiny run.
@@ -95,7 +114,7 @@ class TestSplits:
 
 class TestVideoPoses:
     def test_spiral_pose_shapes_and_validity(self, scene):
-        root, gt = scene
+        root, gt, _ = scene
         extr = gt["extrinsics"][gt["train_frames"]]
         bounds = np.array([2.0, 8.0])
         poses = video_poses.create_spiral_video_poses(extr, bounds, num_frames=8)
