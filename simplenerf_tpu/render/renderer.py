@@ -323,24 +323,33 @@ def render_rays(
             keys[4], z_coarse, weights_coarse, cfg.fine_mlp.num_samples, cfg.perturb and train
         )
         out["z_vals_fine"] = z_fine
-        comp, net = _run_level(
-            cfg, params, "fine", cfg.fine_mlp, z_fine, rays, keys[5], train, sec_views_vis
-        )
-        emit("", "fine", comp, net)
 
+        members = [("fine", "", cfg.fine_mlp, keys[5])]
         if train and cfg.points_aug_fine_mlp is not None:
-            comp, net = _run_level(
-                cfg, params, "points_aug_fine", cfg.points_aug_fine_mlp, z_fine, rays,
-                keys[6], train, sec_views_vis,
+            members.append(
+                ("points_aug_fine", "points_augmentation_", cfg.points_aug_fine_mlp, keys[6])
             )
-            emit("points_augmentation_", "fine", comp, net)
-
         if train and cfg.views_aug_fine_mlp is not None:
-            comp, net = _run_level(
-                cfg, params, "views_aug_fine", cfg.views_aug_fine_mlp, z_fine, rays,
-                keys[7], train, sec_views_vis,
+            members.append(
+                ("views_aug_fine", "views_augmentation_", cfg.views_aug_fine_mlp, keys[7])
             )
-            emit("views_augmentation_", "fine", comp, net)
+
+        needs_vis2 = (
+            sec_views_vis
+            and "rays_o2" in rays
+            and any(mcfg.predict_visibility for _, _, mcfg, _ in members)
+        )
+        if _use_fused(cfg) and len(members) > 1 and not needs_vis2:
+            # 6-MLP configs (points_augmentation.fine_mlp etc.): the fine
+            # trio runs as ONE stacked pallas_call too, sharing the PE block.
+            results = _run_level_ensemble(cfg, params, members, z_fine, rays, train)
+        else:
+            results = [
+                _run_level(cfg, params, name, mcfg, z_fine, rays, nkey, train, sec_views_vis)
+                for name, _, mcfg, nkey in members
+            ]
+        for (_, prefix, _, _), (comp, net) in zip(members, results):
+            emit(prefix, "fine", comp, net)
 
     if not keep_per_sample:
         drop = [

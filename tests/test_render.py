@@ -243,6 +243,51 @@ class TestRenderer:
                 np.asarray(a[k]), np.asarray(b[k]), atol=5e-5, err_msg=k
             )
 
+    def test_fused_fine_ensemble_six_mlp(self):
+        """6-MLP config: the FINE trio also runs as one stacked pallas_call
+        (values AND gradients match the per-member XLA path)."""
+        mlp_kw = dict(points_net_depth=2, views_net_depth=1, points_net_width=32,
+                      views_net_width=16, points_pe_degree=4, views_pe_degree=2)
+        six = dict(
+            points_aug_fine_mlp=MLPConfig(
+                num_samples=16, points_sigma_pe_degree=2, **mlp_kw),
+            views_aug_fine_mlp=MLPConfig(
+                num_samples=16, use_view_dirs=False, view_dependent_rgb=False, **mlp_kw),
+        )
+        cfg_off = tiny_render_cfg(raw_noise_std=0.0, fused_mlp="off", **six)
+        cfg_on = tiny_render_cfg(raw_noise_std=0.0, fused_mlp="on", **six)
+        params = renderer.init(jax.random.PRNGKey(0), cfg_off)
+        rays = make_rays()
+        key = jax.random.PRNGKey(1)
+
+        def loss(p, cfg):
+            out = renderer.render_rays(p, cfg, rays, key, train=True)
+            terms = [
+                out["rgb_fine"], out["depth_fine"],
+                out["points_augmentation_rgb_fine"], out["points_augmentation_depth_fine"],
+                out["views_augmentation_rgb_fine"], out["views_augmentation_depth_fine"],
+            ]
+            return sum(jnp.mean(t**2) for t in terms), out
+
+        (la, a), ga = jax.value_and_grad(loss, has_aux=True)(params, cfg_off)
+        (lb, b), gb = jax.value_and_grad(loss, has_aux=True)(params, cfg_on)
+        for k in [
+            "rgb_fine", "depth_fine",
+            "points_augmentation_rgb_fine", "points_augmentation_depth_fine",
+            "views_augmentation_rgb_fine", "views_augmentation_depth_fine",
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=5e-5, err_msg=k
+            )
+        np.testing.assert_allclose(float(la), float(lb), atol=1e-5)
+        for (pa_, leaf_a), (_, leaf_b) in zip(
+            jax.tree_util.tree_leaves_with_path(ga), jax.tree_util.tree_leaves_with_path(gb)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_a), np.asarray(leaf_b), atol=5e-4,
+                err_msg=jax.tree_util.keystr(pa_),
+            )
+
     def test_keep_per_sample_false(self):
         cfg = tiny_render_cfg()
         params = renderer.init(jax.random.PRNGKey(0), cfg)
