@@ -143,7 +143,10 @@ def start_testing(
         if depth_scale == "auto":
             mc = json.loads((train_run_dir / key / "ModelConfigs.json").read_text())
             scale_by_scene[key] = 1.0 / float(mc.get("translation_scale", 1.0))
-        tester = load_scene_tester(train_run_dir, scene_id, test_configs)
+        tester = load_scene_tester(
+            train_run_dir, scene_id, test_configs,
+            checkpoint_name=test_configs.get("checkpoint_name"),
+        )
         test_nums, test_loader = _scene_frames(database_dirpath, train_configs, scene_id, "test")
         train_nums, _ = _scene_frames(database_dirpath, train_configs, scene_id, "train")
         raw = test_loader.load_data()
