@@ -44,8 +44,8 @@ from simplenerf_tpu.fields import encoding
 from simplenerf_tpu.fields import mlp as mlp_lib
 from simplenerf_tpu.ops import fused_mlp as F
 
-REPS = 20
-NR = 4096
+REPS = int(os.environ.get("LAB8_REPS", "20"))
+NR = int(os.environ.get("LAB8_NR", "4096"))
 NS_FINE = 192
 NS_COARSE = 64
 N_FINE = NR * NS_FINE
@@ -368,7 +368,7 @@ results["prod_fine_fwd_f32"] = timed(
 )
 
 # Numerics: kernel f32 vs XLA HIGHEST f32 blocked path on a subset.
-n_sub = spec_fine.tile * 4
+n_sub = min(spec_fine.tile * 4, N_FINE)
 pts_sub = pts[:n_sub]
 dirs_sub = dirs[: n_sub // NS_FINE]
 out_k32 = mlp_lib.apply_fused(
