@@ -118,7 +118,8 @@ def timed(name, program, flops):
         t0 = time.perf_counter(); np.asarray(program()); dt1 = time.perf_counter() - t0
         t0 = time.perf_counter(); np.asarray(program()); dt = min(dt1, time.perf_counter() - t0)
         ms = dt / REPS * 1e3
-        tf = flops / (dt / REPS) / 1e12
+        # flops already counts all REPS bodies; dt covers one program() call.
+        tf = flops / dt / 1e12
         log(f"{name:18s} {ms:8.2f} ms   {tf:6.1f} TFLOPS (exact)")
         return {"ms": round(ms, 3), "tflops": round(tf, 1)}
     except Exception as e:
