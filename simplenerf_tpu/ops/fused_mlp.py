@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -62,6 +63,25 @@ from simplenerf_tpu.fields import encoding
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+def _fwd_grid_semantics():
+    """Forward grids are embarrassingly parallel over row tiles (each grid
+    step writes its own output block); telling Mosaic so lets it pipeline
+    the steps more aggressively. The backward must stay sequential — its
+    weight-grad outputs revisit the same block every step (accumulation).
+    Env-gated for on-chip A/B (`SIMPLENERF_FWD_PARALLEL_GRID=0` disables).
+    """
+    if os.environ.get("SIMPLENERF_FWD_PARALLEL_GRID", "1") == "1":
+        return ("parallel",)
+    return None
+
+
+def _tile_rays_override() -> Optional[int]:
+    """Env override for the forward/backward ray-tile size sweep
+    (`SIMPLENERF_TILE_RAYS`; must keep tile_rays*ns rows a multiple of 8)."""
+    v = os.environ.get("SIMPLENERF_TILE_RAYS")
+    return int(v) if v else None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +174,7 @@ def make_spec(cfg, ns: int, dtype) -> FusedSpec:
     tile_rays = 8
     while tile_rays * 2 <= target:
         tile_rays *= 2
+    tile_rays = _tile_rays_override() or tile_rays
     # Forward tiles carry two interleaved chains (measured ~3% faster on
     # the fine shape: one chain's PE/head VPU work hides behind the other's
     # matmuls); the backward runs the halved single-chain tile (_fused_bwd).
@@ -618,7 +639,8 @@ def _fused_fwd_call(spec: FusedSpec, kp, lo, hi, hvx):
         out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=_fwd_grid_semantics(),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_trunk, bytes_accessed=n * 32, transcendentals=0  # PE precomputed in XLA
@@ -739,6 +761,7 @@ def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 8) -> EnsembleSpec
     parallelism, so members run single-chain (halves=1). All members read
     one shared full-degree lo block (shared_pe_degree + zero-padded joins).
     """
+    tile_rays = _tile_rays_override() or tile_rays
     d_max = max(cfg.points_pe_degree for cfg in cfgs)
     members = tuple(
         dataclasses.replace(
@@ -969,7 +992,8 @@ def _ens_fwd_call(ens: EnsembleSpec, kps, lo, hvxs):
         out_shape=out_shape,
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=_fwd_grid_semantics(),
         ),
         cost_estimate=pl.CostEstimate(
             flops=_ens_flops(ens, n, 2),
