@@ -70,9 +70,10 @@ def _fwd_grid_semantics():
     step writes its own output block); telling Mosaic so lets it pipeline
     the steps more aggressively. The backward must stay sequential — its
     weight-grad outputs revisit the same block every step (accumulation).
-    Env-gated for on-chip A/B (`SIMPLENERF_FWD_PARALLEL_GRID=0` disables).
+    Env-gated for on-chip A/B (`SIMPLENERF_FWD_PARALLEL_GRID=1` enables;
+    default off until measured).
     """
-    if os.environ.get("SIMPLENERF_FWD_PARALLEL_GRID", "1") == "1":
+    if os.environ.get("SIMPLENERF_FWD_PARALLEL_GRID", "0") == "1":
         return ("parallel",)
     return None
 
