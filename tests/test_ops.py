@@ -213,3 +213,37 @@ class TestForwardHalves:
         out2 = fused_mlp.fused_apply(s2, kp, lo, hi, hvx)
         for a, b in zip(out1, out2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestForwardKnobs:
+    """The perf env knobs (tile size, parallel grid) must not change values."""
+
+    def test_tile_rays_override_matches(self, monkeypatch):
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(3), cfg)
+        nr, ns = 6, 5
+        pts, dirs = _inputs(nr, ns)
+        base = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+        monkeypatch.setenv("SIMPLENERF_TILE_RAYS", "16")
+        monkeypatch.setenv("SIMPLENERF_FWD_PARALLEL_GRID", "1")
+        knobbed = mlp.apply_fused(params, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+        for k in base:
+            np.testing.assert_allclose(np.asarray(base[k]), np.asarray(knobbed[k]),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_tile_rays_override_grads_match(self, monkeypatch):
+        cfg = CASES["main"]
+        params = mlp.init(jax.random.PRNGKey(3), cfg)
+        nr, ns = 6, 5
+        pts, dirs = _inputs(nr, ns)
+
+        def loss(p):
+            out = mlp.apply_fused(p, cfg, pts, view_dirs=dirs, view_dirs_tile=ns)
+            return sum(jnp.sum(v**2) for v in out.values())
+
+        g0 = jax.grad(loss)(params)
+        monkeypatch.setenv("SIMPLENERF_TILE_RAYS", "16")
+        g1 = jax.grad(loss)(params)
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-6)
