@@ -116,7 +116,14 @@ summary = {
     "scene": "textured blobs + textured bg plane",
 }
 
+# Which arms to run (comma list). ABLATION_ARMS=full reruns just the full
+# recipe (e.g. the bf16+depth_clip spike-proof arm against an existing
+# f32 ablation baseline at the same scene/seed/iters).
+ARMS = os.environ.get("ABLATION_ARMS", "full,ablation").split(",")
+
 for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
+    if tag not in ARMS:
+        continue
     cfg = simplenerf_config(
         scene_id="blobs",
         num_iterations=ITERS,
