@@ -67,9 +67,16 @@ results = {}
 
 
 def timed(name, program, *args, flops=None):
-    """program is jitted over *args; scans REPS bodies inside. Host-read sync."""
+    """program is jitted over *args; scans REPS bodies inside. Host-read sync.
+
+    Args are device_put ONCE up front: passing numpy arrays directly would
+    re-ship them host->device over the network relay on EVERY call, and
+    dt/REPS would smear that fixed transfer over the reps (first lab9 run
+    printed 84 ms for a pure-IO kernel this way — all transfer).
+    """
     try:
-        np.asarray(program(*args))
+        args = [jax.device_put(a) for a in args]
+        np.asarray(program(*args))  # warmup also drains the device_put queue
         t0 = time.perf_counter(); np.asarray(program(*args)); dt1 = time.perf_counter() - t0
         t0 = time.perf_counter(); np.asarray(program(*args)); dt = min(dt1, time.perf_counter() - t0)
         ms = dt / REPS * 1e3
