@@ -44,7 +44,9 @@ from simplenerf_tpu.losses import LossComputer
 from simplenerf_tpu.render import renderer
 from simplenerf_tpu.training import trainer as trainer_lib
 
-REPS = 20
+# REPS=20 carries a +1.14 ms/rep dispatch bias (labs 11e/12: ~23 ms relay
+# RTT / scan length); REPS>=100 brings it under 0.25 ms/rep.
+REPS = int(os.environ.get("BREAKDOWN_REPS", "100"))
 NR = 4096
 NS_COARSE = 64
 NS_FINE = 192  # 64 coarse + 128 importance (union)
