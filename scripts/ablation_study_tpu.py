@@ -136,6 +136,9 @@ for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
     cfg["train_num"] = train_num
     cfg["steps_per_call"] = 50
     cfg["log_interval"] = int(os.environ.get("ABLATION_LOG_INTERVAL", "100"))
+    # Long watchdogged runs (scripts/tpu_watchdog.py) bound their loss on a
+    # kill-and-resume by the checkpoint cadence.
+    cfg["model_save_interval"] = int(os.environ.get("ABLATION_SAVE_INTERVAL", "10000"))
     t0 = time.time()
     runner.start_training(cfg, DB, OUT)
     t1 = time.time()

@@ -58,6 +58,17 @@ class EpochSampler:
                 self.cursor = 0
         return np.concatenate(out)
 
+    def skip(self, count: int):
+        """Advance the stream `count` draws without materializing them —
+        consumes the rng in exactly the same order as `next(count)`."""
+        while count > 0:
+            take = min(count, len(self.perm) - self.cursor)
+            self.cursor += take
+            count -= take
+            if self.cursor >= len(self.perm):
+                self.perm = self.rng.permutation(self.pool)
+                self.cursor = 0
+
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "ndc"))
 def _build_ray_cache(images, intrinsics, c2ws, near: float, h: int, w: int, ndc: bool):
@@ -377,6 +388,28 @@ class ScenePreprocessor:
         mask_nerf[: counts[0]] = True
         mask_sd = ~mask_nerf
         return indices.astype(np.int32), mask_nerf, mask_sd
+
+    def fast_forward(self, num_iters: int):
+        """Advance the batch samplers past `num_iters` training draws.
+
+        Called on checkpoint resume so the resumed run consumes the identical
+        index stream an uninterrupted run would (the per-step RNG keys already
+        fold in the absolute iteration, and loss weights/LR are pure functions
+        of it — with this, resume ≡ continuous training bit-for-bit)."""
+        if self.mode != "train" or num_iters <= 0:
+            return
+        dl = self.configs["data_loader"]
+        precrop_it = dl.get("precrop_iterations", -1)
+        sparse = self.sparse_depth_needed
+        # The two samplers share one rng, so their wrap-time re-permutations
+        # interleave; the replay must consume the rng in the same per-iteration
+        # order as next_indices, not in two bulk skips.
+        for it in range(num_iters):
+            if it == precrop_it:
+                self.sampler.reset_pool(self._nerf_index_pool(it))
+            self.sampler.skip(self.num_rays)
+            if sparse:
+                self.sparse_sampler.skip(self.num_rays_sparse_depth)
 
     def batch_constants(self) -> dict:
         """Static per-scene scalars the gather step broadcasts per ray."""

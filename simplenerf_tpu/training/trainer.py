@@ -108,6 +108,11 @@ class Trainer:
                 self.start_iter, self.params, self.opt_state = checkpoints.load_checkpoint(
                     latest, self.params, self.opt_state
                 )
+                # Replay the host-side sampler streams so the resumed run
+                # draws the same batches an uninterrupted run would — resume
+                # is then bit-identical to continuous training (RNG keys and
+                # loss weights are already pure functions of the iteration).
+                self.train_pp.fast_forward(self.start_iter)
 
         if self.mesh is not None:
             self.params = mesh_lib.replicate(self.mesh, self.params)

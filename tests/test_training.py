@@ -61,6 +61,27 @@ class TestTraining:
             np.testing.assert_allclose(a, b)
         trainer2.train()  # runs 30 more without error
 
+    def test_resume_is_bit_identical_to_uninterrupted(self, scene, tmp_path):
+        """Kill-and-resume must reproduce the uninterrupted run exactly: the
+        Trainer fast-forwards the host sampler streams to start_iter and the
+        RNG/LR/loss-weights are pure functions of the iteration, so a
+        watchdog restart (scripts/tpu_watchdog.py) changes nothing."""
+        root, _ = scene
+        straight, _, _ = build_trainer(root, tmp_path / "a", iters=60)
+        straight.train()
+
+        first, _, _ = build_trainer(root, tmp_path / "b", iters=60)
+        first.configs["model_save_interval"] = 30
+        first.train(30)
+        resumed, _, _ = build_trainer(root, tmp_path / "b", iters=60)
+        assert resumed.start_iter == 30
+        resumed.train()
+
+        pa = jax.tree_util.tree_leaves(jax.device_get(straight.params))
+        pb = jax.tree_util.tree_leaves(jax.device_get(resumed.params))
+        for a, b in zip(pa, pb):
+            np.testing.assert_array_equal(a, b)
+
     def test_resume_migrates_per_leaf_adam_checkpoint(self, scene, tmp_path):
         """Checkpoints written before the flat-vector Adam change hold
         per-leaf moment pytrees; resume must migrate them (ravel in the
