@@ -25,7 +25,6 @@ Run (chip idle):  nohup python -c "exec(open('scripts/kernel_lab11.py').read())"
       > /tmp/kernel_lab11.log 2>&1 &
 """
 
-import functools
 import json
 import os
 import sys

@@ -92,8 +92,13 @@ def scene(tmp_path_factory):
     return root
 
 
-def test_two_process_training_matches_single_process(scene, tmp_path):
-    run_workers(scene, tmp_path)
+@pytest.mark.parametrize("steps_per_call", [1, ITERS],
+                         ids=["per_step", "scan"])
+def test_two_process_training_matches_single_process(scene, tmp_path, steps_per_call):
+    """steps_per_call=ITERS exercises the multi-host SCAN branch
+    (train_many's make_array_from_process_local_data feed) — the production
+    TPU-slice configuration (steps_per_call=50) runs exactly this code."""
+    run_workers(scene, tmp_path, steps_per_call=steps_per_call)
     mp = np.load(tmp_path / "params_mp.npz")
     sp_leaves, sp_total = single_process_params(scene, tmp_path / "sp")
     mp_leaves = [mp[f"arr_{i}"] for i in range(len(sp_leaves))]
