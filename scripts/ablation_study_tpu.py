@@ -71,6 +71,12 @@ CLIP = float(CLIP) if CLIP else None
 # an unrealistically strong DS-NeRF anchor on a synthetic scene.
 SPARSE_POINTS = int(os.environ.get("ABLATION_SPARSE_POINTS", "96"))
 SPARSE_NOISE = float(os.environ.get("ABLATION_SPARSE_NOISE", "0.02"))
+# COLMAP-realistic prior regime (VERDICT r3 item 2): texture-seeded
+# keypoints, triangulation-law depth noise, outliers — vs the GT-oracle
+# "uniform" prior of studies 1-5.
+SPARSE_MODE = os.environ.get("ABLATION_SPARSE_MODE", "uniform")
+PX_SIGMA = float(os.environ.get("ABLATION_PX_SIGMA", "1.0"))
+OUTLIER_FRAC = float(os.environ.get("ABLATION_OUTLIER_FRAC", "0.05"))
 MASKS_DIRNAME = "VM02"
 
 
@@ -83,6 +89,8 @@ gt = generate_scene(
     DB, scene_name="blobs", num_frames=5, h=189, w=252, num_train=NUM_TRAIN, seed=0,
     textured=True, sparse_depth_noise=SPARSE_NOISE,
     sparse_points_per_frame=SPARSE_POINTS,
+    sparse_mode=SPARSE_MODE, sparse_px_sigma=PX_SIGMA,
+    sparse_outlier_frac=OUTLIER_FRAC,
 )
 
 # --- GT depths (world units) for the QA depth families -------------------
@@ -113,6 +121,9 @@ summary = {
     "consistency_depth_clip": CLIP,
     "sparse_points_per_frame": SPARSE_POINTS,
     "sparse_depth_noise": SPARSE_NOISE,
+    "sparse_mode": SPARSE_MODE,
+    "sparse_px_sigma": PX_SIGMA,
+    "sparse_outlier_frac": OUTLIER_FRAC,
     "scene": "textured blobs + textured bg plane",
 }
 

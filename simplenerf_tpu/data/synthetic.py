@@ -138,6 +138,38 @@ def render_analytic(
     return np.clip(image, 0, 1), depth
 
 
+def _colmap_like_sparse(rng, image, depth, focal, baseline, n_points,
+                        px_sigma, outlier_frac):
+    """Sparse depth with real-COLMAP statistics instead of a GT oracle.
+
+    The reference's prior generator triangulates SIFT matches with known
+    poses (src/prior_generators/sparse_depth/Tester01.py:232-289); its
+    output is (a) concentrated on textured corners, (b) noisy with the
+    triangulation law sigma_z ~ err_px * z^2 / (f * baseline), (c) polluted
+    by a few wrong matches, (d) confidence-weighted
+    2*exp(-(err/mean_err)^2) (:265). This models exactly those statistics:
+      - keypoints drawn with probability ∝ local gradient energy,
+      - reprojection errors half-normal with scale px_sigma,
+      - depth noise sigma_z = err * z^2 / (f * baseline),
+      - outlier_frac of points re-drawn uniformly in the frame's depth
+        range (mismatches triangulate to unrelated depths).
+    """
+    h, w = depth.shape
+    gray = image.mean(-1)
+    gy, gx = np.gradient(gray)
+    resp = (gx * gx + gy * gy).ravel() + 1e-12
+    flat = rng.choice(h * w, size=min(n_points, h * w), replace=False,
+                      p=resp / resp.sum())
+    ys, xs = np.divmod(flat, w)
+    d = depth[ys, xs]
+    err = np.abs(rng.standard_normal(len(d))) * px_sigma
+    d_noisy = d + rng.standard_normal(len(d)) * err * d * d / (focal * baseline)
+    outliers = rng.random(len(d)) < outlier_frac
+    d_noisy[outliers] = rng.uniform(depth.min(), depth.max(), outliers.sum())
+    weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
+    return xs, ys, d_noisy, err, weight
+
+
 def generate_scene(
     root: Path,
     scene_name: str = "blobs",
@@ -151,6 +183,9 @@ def generate_scene(
     sparse_points_per_frame: int = 96,
     textured: bool = False,
     sparse_depth_noise: float = 0.01,
+    sparse_mode: str = "uniform",
+    sparse_px_sigma: float = 1.0,
+    sparse_outlier_frac: float = 0.05,
 ) -> dict:
     """Write a full synthetic scene; returns ground-truth arrays for tests.
 
@@ -233,15 +268,32 @@ def generate_scene(
             new = pd.concat([old, new], ignore_index=True)
         new.to_csv(csv_path, index=False)
 
-    # COLMAP-style sparse depth CSVs from ground-truth depth + noise.
+    # COLMAP-style sparse depth CSVs. sparse_mode:
+    #   "uniform" — GT-oracle prior (uniform pixels, relative depth noise);
+    #               the strong-anchor regime of studies 1-5.
+    #   "colmap"  — COLMAP-realistic statistics (texture-seeded keypoints,
+    #               triangulation noise ~ z^2/(f*baseline), outliers); the
+    #               regime the method was actually designed for.
     sd_dir = root / f"all/estimated_depths/DE02/{scene_name}/estimated_depths{resolution_suffix}"
     sd_dir.mkdir(parents=True, exist_ok=True)
+    # Effective stereo baseline = mean distance between train camera centers.
+    centers = np.stack(
+        [-extrinsics[i, :3, :3].T @ extrinsics[i, :3, 3] for i in train_frames]
+    )
+    baseline = float(np.mean(np.linalg.norm(np.diff(centers, axis=0), axis=-1))) \
+        if len(centers) > 1 else 0.2
     for i in train_frames:
-        xs = rng.integers(0, w, sparse_points_per_frame)
-        ys = rng.integers(0, h, sparse_points_per_frame)
-        d = depths[i, ys, xs] * (1 + sparse_depth_noise * rng.standard_normal(sparse_points_per_frame))
-        err = np.abs(rng.standard_normal(sparse_points_per_frame)) * 0.5
-        weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
+        if sparse_mode == "colmap":
+            xs, ys, d, err, weight = _colmap_like_sparse(
+                rng, images[i], depths[i], focal, baseline,
+                sparse_points_per_frame, sparse_px_sigma, sparse_outlier_frac,
+            )
+        else:
+            xs = rng.integers(0, w, sparse_points_per_frame)
+            ys = rng.integers(0, h, sparse_points_per_frame)
+            d = depths[i, ys, xs] * (1 + sparse_depth_noise * rng.standard_normal(sparse_points_per_frame))
+            err = np.abs(rng.standard_normal(sparse_points_per_frame)) * 0.5
+            weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
         pd.DataFrame(
             {"x": xs, "y": ys, "depth": d, "reprojection_error": err, "weight": weight}
         ).to_csv(sd_dir / f"{i:04}.csv", index=False)

@@ -118,6 +118,41 @@ class TestPreprocessor:
         rel = np.abs(sd[valid] / pp.sc - gt_depth_flat[valid]) / gt_depth_flat[valid]
         assert np.median(rel) < 0.05
 
+    def test_colmap_like_sparse_prior_statistics(self, tmp_path):
+        """sparse_mode='colmap' must degrade the prior to COLMAP statistics:
+        keypoints on texture, triangulation noise growing with depth,
+        outliers present, DS-NeRF confidence weights."""
+        import pandas as pd
+
+        gt = generate_scene(
+            tmp_path, num_frames=5, h=48, w=64, num_train=3, seed=11,
+            textured=True, sparse_mode="colmap", sparse_points_per_frame=32,
+            sparse_px_sigma=1.0, sparse_outlier_frac=0.1,
+        )
+        rels, errs, weights = [], [], []
+        for i in gt["train_frames"]:
+            df = pd.read_csv(
+                tmp_path / "all/estimated_depths/DE02/blobs/"
+                f"estimated_depths_down4/{i:04}.csv"
+            )
+            assert len(df) == 32
+            gt_d = gt["depths"][i][df["y"].to_numpy(), df["x"].to_numpy()]
+            rels.append(np.abs(df["depth"].to_numpy() - gt_d) / gt_d)
+            errs.append(df["reprojection_error"].to_numpy())
+            weights.append(df["weight"].to_numpy())
+            np.testing.assert_allclose(
+                df["weight"],
+                2 * np.exp(-((df["reprojection_error"]
+                              / df["reprojection_error"].mean()) ** 2)),
+                rtol=1e-6,
+            )
+        rels = np.concatenate(rels)
+        # Noisy but not garbage: typical relative error is a few percent,
+        # and the tail holds real outliers (no GT oracle any more).
+        assert 0.005 < np.median(rels) < 0.25, np.median(rels)
+        assert rels.max() > 0.2, rels.max()
+        assert (np.concatenate(errs) >= 0).all()
+
     def test_validation_image_indices(self, scene):
         root, gt = scene
         cfgs = make_configs()
