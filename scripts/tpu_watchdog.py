@@ -13,9 +13,16 @@ Usage (from the repo root; the child inherits cwd and env):
 
   python scripts/tpu_watchdog.py --log /path/run.log [options] -- CMD [ARGS...]
 
-  --log PATH          child stdout+stderr appended here; file GROWTH is the
-                      progress signal (TrainLogger prints every log_interval).
-  --stall-secs N      no-growth window before the child is declared hung
+  --log PATH          child stdout+stderr appended here; its growth counts
+                      as progress.
+  --watch PATH        extra progress signals: a file or a directory TREE
+                      whose newest mtime counts as progress. Pass the run
+                      output dir here — trainers log scalars/checkpoints to
+                      files, not stdout, so the child log alone goes quiet
+                      during healthy training (repeatable; the first clip-100k
+                      launch was spuriously killed at 45 min for exactly this).
+                      May be given multiple times; paths may not exist yet.
+  --stall-secs N      no-progress window before the child is declared hung
                       (default 2700 — cold remote compiles take up to ~35 min,
                       a shorter window would kill a healthy compile).
   --max-restarts N    give up after N kill/relaunch cycles (default 12).
@@ -74,6 +81,25 @@ def wait_for_chip(tries: int, wait_s: int, probe_timeout: int) -> bool:
     return False
 
 
+def progress_stamp(log_path: Path, watch: list[str]) -> tuple:
+    """Opaque progress token: (log size, newest mtime across watch trees).
+    Any change between polls counts as progress."""
+    size = log_path.stat().st_size if log_path.exists() else 0
+    newest = 0.0
+    for w in watch:
+        p = Path(w)
+        if p.is_file():
+            newest = max(newest, p.stat().st_mtime)
+        elif p.is_dir():
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        continue
+    return (size, newest)
+
+
 def kill_group(proc: subprocess.Popen):
     """SIGTERM then SIGKILL the child's own process group — by pgid, never by
     pattern, so nothing outside this launch can be hit."""
@@ -96,6 +122,7 @@ def kill_group(proc: subprocess.Popen):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--log", required=True)
+    ap.add_argument("--watch", action="append", default=[])
     ap.add_argument("--stall-secs", type=int, default=2700)
     ap.add_argument("--poll-secs", type=int, default=30)
     ap.add_argument("--max-restarts", type=int, default=12)
@@ -126,7 +153,7 @@ def main(argv=None) -> int:
             proc = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT,
                                     start_new_session=True)
         log(f"launched pid={proc.pid} (attempt {restarts + 1}): {' '.join(cmd)}")
-        last_size = -1
+        last_stamp = None
         last_progress = time.time()
         stalled = False
         while True:
@@ -135,12 +162,12 @@ def main(argv=None) -> int:
                 break
             except subprocess.TimeoutExpired:
                 pass
-            size = log_path.stat().st_size if log_path.exists() else 0
-            if size != last_size:
-                last_size = size
+            stamp = progress_stamp(log_path, args.watch)
+            if stamp != last_stamp:
+                last_stamp = stamp
                 last_progress = time.time()
             elif time.time() - last_progress > args.stall_secs:
-                log(f"no log growth for {args.stall_secs}s — killing pid {proc.pid}")
+                log(f"no progress for {args.stall_secs}s — killing pid {proc.pid}")
                 kill_group(proc)
                 stalled = True
                 rc = None
