@@ -406,7 +406,7 @@ def apply_fused_ensemble(
     noise_keys=None,
     dtype=jnp.float32,
     view_dirs_tile: int = 1,
-    tile_rays: int = 8,
+    tile_rays: int = 32,
 ) -> list:
     """Evaluate several field MLPs at the SAME points in one fused kernel.
 

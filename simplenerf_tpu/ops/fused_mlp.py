@@ -755,12 +755,16 @@ class EnsembleSpec:
         return tuple(i for i, m in enumerate(self.members) if m.has_hvx)
 
 
-def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 8) -> EnsembleSpec:
+def make_ensemble_spec(cfgs, ns: int, dtype, tile_rays: int = 32) -> EnsembleSpec:
     """Spec for evaluating `cfgs` jointly at shared points.
 
     tile_rays is shared; member chains already provide the instruction-level
     parallelism, so members run single-chain (halves=1). All members read
     one shared full-degree lo block (shared_pe_degree + zero-padded joins).
+    Default 32 (T=2048 at ns=64): best of the round-4 tile sweep
+    (scripts/kernel_lab13.py — fwd 6.18->5.94 ms, fwd+bwd 22.2->21.5 ms vs
+    the old 8; no tile recovers the fine kernel's 185 TFLOPS because the
+    member mix includes trunk-only work and 3 dW accumulator sets).
     """
     tile_rays = _tile_rays_override() or tile_rays
     d_max = max(cfg.points_pe_degree for cfg in cfgs)

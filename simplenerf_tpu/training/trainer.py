@@ -42,10 +42,16 @@ def flat_adam(lr_schedule, b1: float = 0.9, b2: float = 0.999):
     The SimpleNeRF ensemble is ~120 small tensors across 4 MLPs; per-tensor
     Adam pays (8, 128) tile padding and per-op overhead ~10x the arithmetic
     (measured 1.44 ms/step vs a ~0.15 ms roofline, scripts/glue_lab.py).
-    Gradients are raveled to one contiguous vector, adam runs there, and the
-    updates unravel back — the ravel/unravel are two fused concat/split
-    passes over 10 MB. Mathematically identical to per-leaf adam (adam is
-    elementwise). Optimizer-state checkpoints hold the flat vectors.
+    Mathematically identical to per-leaf adam (adam is elementwise);
+    optimizer-state checkpoints hold the flat vectors.
+
+    Returns (tree-in/tree-out transformation, the inner flat optax.adam).
+    Round-4 negative result: differentiating in the flat domain
+    (loss(unravel(flat)), flat scan carry, one fused parameter add) was
+    tried to shave the remaining ~0.9 ms of tree<->flat shuffle (glue lab
+    2) and REVERTED — with params as slices of one buffer the whole-step
+    bench showed no win over this formulation, and the known-good tree
+    path keeps kernel operands as standalone arrays.
     """
     import jax.flatten_util
 
@@ -60,7 +66,7 @@ def flat_adam(lr_schedule, b1: float = 0.9, b2: float = 0.999):
         flat_u, state = inner.update(flat_g, state, None)
         return unravel(flat_u), state
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformation(init, update), inner
 
 
 def loss_context_from_configs(configs: dict) -> LossContext:
@@ -92,7 +98,7 @@ class Trainer:
         self.loss_computer = LossComputer(configs["losses"], loss_context_from_configs(configs))
         opt_cfg = configs["optimizer"]
         self.lr_schedule = make_lr_schedule(opt_cfg, configs.get("num_iterations", 0))
-        self.opt = flat_adam(
+        self.opt, self._inner_opt = flat_adam(
             self.lr_schedule, b1=opt_cfg.get("beta1", 0.9), b2=opt_cfg.get("beta2", 0.999)
         )
 
@@ -156,9 +162,16 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _build_step(self):
+        """One fused step: gather -> render (all MLPs) -> 9 losses -> grad
+        -> flat Adam -> tree update. Gradients ravel to one vector for the
+        optimizer (see flat_adam); params stay a tree so the Pallas kernels
+        consume standalone arrays (the flat-carry variant measured no
+        better end-to-end — flat_adam docstring)."""
+        import jax.flatten_util
+
         render_cfg = self.render_cfg
         loss_computer = self.loss_computer
-        opt = self.opt
+        inner = self._inner_opt
         consts = self.train_pp.batch_constants()
         layout = getattr(self.train_pp, "packed_layout", ())
 
@@ -172,8 +185,11 @@ class Trainer:
                 return total, values
 
             (_, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            flat_g, unravel = jax.flatten_util.ravel_pytree(grads)
+            updates, opt_state = inner.update(flat_g, opt_state, None)
+            params = jax.tree.map(
+                lambda p, u: p + u, params, unravel(updates)
+            )
             return params, opt_state, values
 
         return jax.jit(step, donate_argnums=(0, 1))
@@ -182,9 +198,11 @@ class Trainer:
         """K train steps under one lax.scan — one dispatch, no host round
         trips between steps. The per-step RNG keys fold in the absolute
         iteration number on device, matching the single-step path exactly."""
+        import jax.flatten_util
+
         render_cfg = self.render_cfg
         loss_computer = self.loss_computer
-        opt = self.opt
+        inner = self._inner_opt
         consts = self.train_pp.batch_constants()
         layout = getattr(self.train_pp, "packed_layout", ())
         base_key = self.base_key
@@ -202,8 +220,9 @@ class Trainer:
                 return total, values
 
             (_, values), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            flat_g, unravel = jax.flatten_util.ravel_pytree(grads)
+            updates, opt_state = inner.update(flat_g, opt_state, None)
+            params = jax.tree.map(lambda p, u: p + u, params, unravel(updates))
             return (params, opt_state), values
 
         def multi_step(params, opt_state, cache, common, indices_k, mask_nerf_k, mask_sd_k,
