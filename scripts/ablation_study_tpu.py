@@ -66,6 +66,10 @@ DTYPE = os.environ.get("ABLATION_DTYPE", "float32")
 # (losses/consistency.py depth_clip). Empty = reference-exact (no clamp).
 CLIP = os.environ.get("ABLATION_DEPTH_CLIP", "")
 CLIP = float(CLIP) if CLIP else None
+# Bounded-gradient alternative (x far plane): Huberized teaching error
+# (losses/consistency._teaching_sq). Empty = reference-exact squared error.
+HUBER = os.environ.get("ABLATION_DEPTH_HUBER", "")
+HUBER = float(HUBER) if HUBER else None
 # Depth-prior strength: the paper's COLMAP priors are sparse and noisy on
 # texture-poor regions; the study-1..4 default (96 pts/frame, 2% noise) is
 # an unrealistically strong DS-NeRF anchor on a synthetic scene.
@@ -119,6 +123,7 @@ summary = {
     "num_train_views": NUM_TRAIN,
     "compute_dtype": DTYPE,
     "consistency_depth_clip": CLIP,
+    "consistency_depth_huber": HUBER,
     "sparse_points_per_frame": SPARSE_POINTS,
     "sparse_depth_noise": SPARSE_NOISE,
     "sparse_mode": SPARSE_MODE,
@@ -143,6 +148,7 @@ for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
         seed=0,
         with_augmentations=with_aug,
         consistency_depth_clip=CLIP,
+        consistency_depth_huber=HUBER,
     )
     cfg["train_num"] = train_num
     cfg["steps_per_call"] = 50

@@ -58,6 +58,7 @@ def simplenerf_config(
     with_augmentations: bool = True,
     with_sparse_depth: bool = True,
     consistency_depth_clip: float | None = None,
+    consistency_depth_huber: float | None = None,
 ) -> dict:
     cfg: dict = {
         "train_num": 1,
@@ -149,6 +150,12 @@ def simplenerf_config(
             # up the late-training losses. None = reference-exact f32 recipe.
             for spec in consistency:
                 spec["depth_clip"] = consistency_depth_clip
+        if consistency_depth_huber is not None:
+            # Bounded-GRADIENT alternative to the hard clamp: Huberized
+            # teaching error at huber x far (losses/consistency._teaching_sq)
+            # keeps a restoring force on runaway rays instead of zeroing it.
+            for spec in consistency:
+                spec["depth_huber"] = consistency_depth_huber
         cfg["losses"] += consistency
     return copy.deepcopy(cfg)
 

@@ -38,6 +38,10 @@ def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
     # (TPU bf16 spike guard, see consistency.reliable_depth_consistency).
     clip = loss_cfg.get("depth_clip")
     clip = float(clip) if clip is not None else None
+    # Optional Huberized teaching error at depth_huber x far (bounded
+    # gradient instead of the clamp's zeroed one; consistency._teaching_sq).
+    hub = loss_cfg.get("depth_huber")
+    hub = float(hub) if hub is not None else None
     builders = {
         "MSE01": lambda: photometric.make_photometric_loss(""),
         "MSE02": lambda: photometric.make_photometric_loss("points_augmentation_"),
@@ -54,17 +58,17 @@ def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
             "points_augmentation_", ctx.points_aug_fine
         ),
         "PointsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "points_augmentation_", patch, thr, ctx.points_aug_fine, clip
+            "points_augmentation_", patch, thr, ctx.points_aug_fine, clip, hub
         ),
         "ViewsAugmentationDepthLoss01": lambda: consistency.make_plain_depth_consistency(
             "views_augmentation_", ctx.views_aug_fine
         ),
         "ViewsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "views_augmentation_", patch, thr, ctx.views_aug_fine, clip
+            "views_augmentation_", patch, thr, ctx.views_aug_fine, clip, hub
         ),
         "CoarseFineConsistencyLoss01": lambda: consistency.make_plain_coarse_fine_consistency(),
         "CoarseFineConsistencyLoss02": lambda: consistency.make_reliable_coarse_fine_consistency(
-            patch, thr, ctx.sparse_depth_enabled, clip
+            patch, thr, ctx.sparse_depth_enabled, clip, hub
         ),
         "VisibilityLoss01": lambda: visibility.make_visibility_loss(),
         "VisibilityPriorLoss01": lambda: visibility.make_visibility_prior_loss(),

@@ -92,6 +92,26 @@ def _clip_depth(depth: jnp.ndarray, batch: dict, depth_clip):
     return jnp.minimum(depth, depth_clip * batch["far"][:, 0])
 
 
+def _teaching_sq(diff: jnp.ndarray, batch: dict, depth_huber):
+    """Per-ray teaching error: squared, or Huberized at depth_huber x far.
+
+    depth_huber (TPU extension, default None = reference-exact squared
+    error): beyond delta = depth_huber * far the loss grows LINEARLY, so
+    its gradient is bounded at 2*delta but never zero. Rationale (studies
+    6/7): the hard depth_clip buys pole-bounded stability by zeroing the
+    teaching gradient exactly on the runaway rays (d min/dx = 0 where it
+    binds), which costs far-field geometry in both dtypes; the Huber form
+    bounds the pole's gradient without forfeiting the restoring force, so
+    stability and depth teaching stop being the same knob.
+    """
+    sq = jnp.square(diff)
+    if depth_huber is None:
+        return sq
+    delta = depth_huber * batch["far"][:, 0]
+    a = jnp.abs(diff)
+    return jnp.where(a <= delta, sq, delta * (2.0 * a - delta))
+
+
 def reliable_depth_consistency(
     depth1: jnp.ndarray,
     depth2: jnp.ndarray,
@@ -99,6 +119,7 @@ def reliable_depth_consistency(
     patch_size: tuple[int, int],
     rmse_threshold: float,
     depth_clip=None,
+    depth_huber=None,
 ):
     """Patch-reprojection-arbitrated bidirectional depth consistency.
 
@@ -164,8 +185,8 @@ def reliable_depth_consistency(
     mask1 = ((rmse1 < rmse2) | ~valid_2b) & (rmse1 < rmse_threshold) & valid_1b & valid_a
     mask2 = ((rmse2 < rmse1) | ~valid_1b) & (rmse2 < rmse_threshold) & valid_2b & valid_a
 
-    sq12 = jnp.square(depth1 - jax.lax.stop_gradient(depth2))
-    sq21 = jnp.square(depth2 - jax.lax.stop_gradient(depth1))
+    sq12 = _teaching_sq(depth1 - jax.lax.stop_gradient(depth2), batch, depth_huber)
+    sq21 = _teaching_sq(depth2 - jax.lax.stop_gradient(depth1), batch, depth_huber)
     # Model 2 reliable -> teach model 1 (and vice versa); normalize by the
     # NeRF-ray count like the reference's mean over the filtered vector.
     sel1 = (mask2 & nerf_mask).astype(sq12.dtype)
@@ -181,6 +202,7 @@ def make_reliable_depth_consistency(
     rmse_threshold: float = 0.1,
     aug_fine_present: bool = False,
     depth_clip=None,
+    depth_huber=None,
 ):
     """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}.
 
@@ -197,7 +219,7 @@ def make_reliable_depth_consistency(
             if main_key in outputs and aug_key in outputs:
                 value, map_main, map_aug = reliable_depth_consistency(
                     outputs[main_key], outputs[aug_key], batch, patch_size,
-                    rmse_threshold, depth_clip,
+                    rmse_threshold, depth_clip, depth_huber,
                 )
                 total += value
                 maps[f"{map_name}_{level}_main"] = map_main
@@ -212,6 +234,7 @@ def make_reliable_coarse_fine_consistency(
     rmse_threshold: float = 0.1,
     sparse_depth_enabled: bool = True,
     depth_clip=None,
+    depth_huber=None,
 ):
     """CoarseFineConsistencyLoss02: arbitrated coarse<->fine + the sparse-depth
     branch where detached fine depth teaches coarse (reference :174-189).
@@ -225,11 +248,11 @@ def make_reliable_coarse_fine_consistency(
         dc = _clip_depth(outputs["depth_coarse"], batch, depth_clip)
         df = _clip_depth(outputs["depth_fine"], batch, depth_clip)
         total, map_coarse, map_fine = reliable_depth_consistency(
-            dc, df, batch, patch_size, rmse_threshold
+            dc, df, batch, patch_size, rmse_threshold, depth_huber=depth_huber
         )
         if sparse_depth_enabled and "indices_mask_sparse_depth" in batch:
             sd_mask = batch["indices_mask_sparse_depth"]
-            sq = jnp.square(dc - jax.lax.stop_gradient(df))
+            sq = _teaching_sq(dc - jax.lax.stop_gradient(df), batch, depth_huber)
             total += mean_over_mask_count(sq, sd_mask, sd_mask)
             map_coarse = map_coarse + sq * sd_mask.astype(sq.dtype)
         if return_maps:

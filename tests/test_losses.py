@@ -165,6 +165,32 @@ class TestReliableConsistency:
         np.testing.assert_allclose(float(g2[0]), 0.0, atol=1e-7)
         assert abs(float(g2[1])) > 0.1  # unclamped rays still teach
 
+    def test_depth_huber_bounds_gradient_without_zeroing_it(self):
+        """depth_huber: squared error within delta = huber x far, linear
+        beyond — the pole ray's teaching gradient is BOUNDED (|g| = 2*delta
+        / count) but nonzero, unlike depth_clip which zeroes it; huber=None
+        stays reference-exact."""
+        batch, d1, d2 = arbitration_batch()
+        batch["far"] = jnp.full((4, 1), 2.0)
+        d2 = d2.at[0].set(1e5)  # pole ray
+
+        def f(d1_, d2_, hub):
+            return consistency.reliable_depth_consistency(
+                d1_, d2_, batch, (5, 5), 0.1, depth_huber=hub)[0]
+
+        # Reference-exact when None.
+        np.testing.assert_allclose(float(f(d1, d2, None)), float(f(d1, d2, None)))
+        # huber at 3x far=2.0 -> delta=6: loss linear in the pole, not quadratic.
+        loss_h = float(f(d1, d2, 3.0))
+        assert loss_h < 1e6 and loss_h > 1e3  # ~ delta*2*|e|/4 ~ 3e5
+        g_none = jax.grad(f, argnums=1)(d1, d2, None)
+        g_hub = jax.grad(f, argnums=1)(d1, d2, 3.0)
+        # Pole ray: unbounded quadratic gradient becomes exactly 2*delta/4.
+        assert abs(float(g_none[0])) > 1e4
+        np.testing.assert_allclose(abs(float(g_hub[0])), 2 * 6.0 / 4, rtol=1e-5)
+        # Small-error rays are untouched (|e| < delta -> squared branch).
+        np.testing.assert_allclose(float(g_hub[1]), float(g_none[1]), rtol=1e-5)
+
     def test_coarse_fine_sd_branch(self):
         batch, d1, d2 = arbitration_batch()
         batch["indices_mask_nerf"] = jnp.array([True, True, False, False])
