@@ -273,7 +273,7 @@ timed("losses_fb", scan_reps(losses_fb_body), (batch, outputs, weights),
 
 # Adam on production-shaped grads (flat-vector path, state carried in-scan).
 lr = trainer_lib.make_lr_schedule(cfg["optimizer"], cfg["num_iterations"])
-opt = trainer_lib.flat_adam(lr)
+opt, _ = trainer_lib.flat_adam(lr)
 opt_state = opt.init(params)
 grads = jax.jit(jax.grad(
     lambda p, b, k, w: lc.compute(

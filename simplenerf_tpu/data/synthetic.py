@@ -166,7 +166,9 @@ def _colmap_like_sparse(rng, image, depth, focal, baseline, n_points,
     d_noisy = d + rng.standard_normal(len(d)) * err * d * d / (focal * baseline)
     outliers = rng.random(len(d)) < outlier_frac
     d_noisy[outliers] = rng.uniform(depth.min(), depth.max(), outliers.sum())
-    weight = 2 * np.exp(-((err / np.mean(err)) ** 2))
+    # Guard the mean: px_sigma=0 makes every err 0 and the reference's
+    # confidence formula 2*exp(-(err/mean_err)^2) would be 0/0 -> NaN.
+    weight = 2 * np.exp(-((err / (np.mean(err) + 1e-12)) ** 2))
     return xs, ys, d_noisy, err, weight
 
 
