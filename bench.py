@@ -61,11 +61,17 @@ def main():
         print("generating synthetic scene...", file=sys.stderr, flush=True)
         generate_scene(root, scene_name="blobs", num_frames=3, h=189, w=252, num_train=3, seed=0)
 
+        # BENCH_DEPTH_CLIP (off by default -> reference-exact loss stack):
+        # bisect knob for the recommended bf16 training recipe's consistency
+        # clamp (study 7), so its step cost can be measured under the exact
+        # bench workload (VERDICT r4 weak #4).
+        clip = os.environ.get("BENCH_DEPTH_CLIP", "")
         cfg = simplenerf_config(
             scene_id="blobs",
             num_iterations=STEPS_PER_CALL * (WARMUP_CALLS + TIMED_CALLS),
             compute_dtype="bfloat16",
             seed=0,
+            consistency_depth_clip=float(clip) if clip else None,
         )
         cfg["steps_per_call"] = STEPS_PER_CALL
         raw = get_data_loader(cfg, root, "train").load_data()
@@ -97,7 +103,8 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "rays/s/chip fwd+bwd full SimpleNeRF train step (192 samples, 4 MLPs, 9 losses)",
+                    "metric": "rays/s/chip fwd+bwd full SimpleNeRF train step (192 samples, 4 MLPs, 9 losses)"
+                    + (f" [depth_clip={clip}]" if clip else ""),
                     "value": round(rays_per_s, 1),
                     "unit": "rays/s",
                     # Measured ratio: vs the reference torch code actually

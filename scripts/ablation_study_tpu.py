@@ -70,6 +70,10 @@ CLIP = float(CLIP) if CLIP else None
 # (losses/consistency._teaching_sq). Empty = reference-exact squared error.
 HUBER = os.environ.get("ABLATION_DEPTH_HUBER", "")
 HUBER = float(HUBER) if HUBER else None
+# Arbitration-only clamp (x far plane): bounds the reprojection/mask inputs
+# but keeps the raw teaching gradient (losses/consistency.py depth_arb_clip).
+ARB_CLIP = os.environ.get("ABLATION_DEPTH_ARB_CLIP", "")
+ARB_CLIP = float(ARB_CLIP) if ARB_CLIP else None
 # Depth-prior strength: the paper's COLMAP priors are sparse and noisy on
 # texture-poor regions; the study-1..4 default (96 pts/frame, 2% noise) is
 # an unrealistically strong DS-NeRF anchor on a synthetic scene.
@@ -124,6 +128,7 @@ summary = {
     "compute_dtype": DTYPE,
     "consistency_depth_clip": CLIP,
     "consistency_depth_huber": HUBER,
+    "consistency_depth_arb_clip": ARB_CLIP,
     "sparse_points_per_frame": SPARSE_POINTS,
     "sparse_depth_noise": SPARSE_NOISE,
     "sparse_mode": SPARSE_MODE,
@@ -149,6 +154,7 @@ for tag, train_num, with_aug in (("full", 11, True), ("ablation", 12, False)):
         with_augmentations=with_aug,
         consistency_depth_clip=CLIP,
         consistency_depth_huber=HUBER,
+        consistency_depth_arb_clip=ARB_CLIP,
     )
     cfg["train_num"] = train_num
     cfg["steps_per_call"] = 50

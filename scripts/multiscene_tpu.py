@@ -39,6 +39,12 @@ OUT = ROOT / "runs"
 ITERS = int(os.environ.get("MULTISCENE_ITERS", "2000"))
 RAMP = int(os.environ.get("MULTISCENE_RAMP", str(ITERS // 10)))
 DTYPE = os.environ.get("MULTISCENE_DTYPE", "float32")
+# Sparse-prior regime (VERDICT r4 directive 5): "uniform" = GT-oracle,
+# "colmap" = COLMAP-realistic statistics (data/synthetic._colmap_like_sparse).
+SPARSE_MODE = os.environ.get("MULTISCENE_SPARSE_MODE", "uniform")
+SPARSE_POINTS = int(os.environ.get("MULTISCENE_SPARSE_POINTS", "96"))
+PX_SIGMA = float(os.environ.get("MULTISCENE_PX_SIGMA", "1.0"))
+OUTLIER_FRAC = float(os.environ.get("MULTISCENE_OUTLIER_FRAC", "0.05"))
 SCENES = ["blobs_a", "blobs_b", "blobs_c"]
 SEEDS = {"blobs_a": 0, "blobs_b": 21, "blobs_c": 42}
 MASKS_DIRNAME = "VM02"
@@ -54,6 +60,8 @@ for scene in SCENES:
     gts[scene] = generate_scene(
         DB, scene_name=scene, num_frames=5, h=189, w=252, num_train=3,
         seed=SEEDS[scene], textured=True,
+        sparse_mode=SPARSE_MODE, sparse_points_per_frame=SPARSE_POINTS,
+        sparse_px_sigma=PX_SIGMA, sparse_outlier_frac=OUTLIER_FRAC,
     )
     gt = gts[scene]
     gt_depth_dir = ROOT / f"gt_depths/{scene}"
@@ -76,8 +84,17 @@ for scene in SCENES:
     )
     log(f"scene {scene} ready")
 
-summary = {"iters": ITERS, "ramp": RAMP, "dtype": DTYPE, "scenes": SCENES}
+summary = {"iters": ITERS, "ramp": RAMP, "dtype": DTYPE, "scenes": SCENES,
+           "sparse_mode": SPARSE_MODE, "sparse_points_per_frame": SPARSE_POINTS,
+           "sparse_px_sigma": PX_SIGMA, "sparse_outlier_frac": OUTLIER_FRAC}
+ARMS = os.environ.get("MULTISCENE_ARMS", "full,ablation").split(",")
+
 for tag, train_num, with_aug in (("full", 21, True), ("ablation", 22, False)):
+    if tag not in ARMS:
+        continue
+    if (ROOT / f"QA_Scores_{tag}.json").exists():
+        log(f"{tag}: QA_Scores_{tag}.json already present, skipping arm")
+        continue
     cfg = simplenerf_config(
         num_iterations=ITERS,
         consistency_start_iter=RAMP,

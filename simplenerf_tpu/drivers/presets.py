@@ -59,6 +59,7 @@ def simplenerf_config(
     with_sparse_depth: bool = True,
     consistency_depth_clip: float | None = None,
     consistency_depth_huber: float | None = None,
+    consistency_depth_arb_clip: float | None = None,
 ) -> dict:
     cfg: dict = {
         "train_num": 1,
@@ -156,6 +157,13 @@ def simplenerf_config(
             # keeps a restoring force on runaway rays instead of zeroing it.
             for spec in consistency:
                 spec["depth_huber"] = consistency_depth_huber
+        if consistency_depth_arb_clip is not None:
+            # Arbitration-only clamp: bound the pole where depth enters the
+            # reprojection/reliability masks, leave the teaching error (and
+            # its restoring gradient) on the raw depths
+            # (losses/consistency.reliable_depth_consistency).
+            for spec in consistency:
+                spec["depth_arb_clip"] = consistency_depth_arb_clip
         cfg["losses"] += consistency
     return copy.deepcopy(cfg)
 

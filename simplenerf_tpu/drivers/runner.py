@@ -172,6 +172,7 @@ def start_testing(
 
     scores = {}
     if run_qa:
+        loader_name = train_configs["data_loader"]["data_loader_name"]
         runner = QARunner(
             database_dirpath,
             test_dir,
@@ -182,6 +183,7 @@ def start_testing(
             masks_dirname=test_configs.get("qa_masks_dirname"),
             gt_depth_dirpath=gt_depth_dirpath,
             depth_scale=scale_by_scene if depth_scale == "auto" else depth_scale,
+            database_subdir="test" if loader_name.startswith("RealEstate") else "all",
         )
         scores = runner.run()
     return scores
@@ -205,11 +207,21 @@ def start_testing_videos(
     train_configs = config_lib.load_configs(train_run_dir / "Configs.json")
     scene_ids = test_configs.get("scene_names") or resolve_scene_ids(train_configs, database_dirpath)
 
+    loader_name = train_configs["data_loader"]["data_loader_name"]
     for scene_id in scene_ids:
         key = scene_key(train_configs, scene_id)
-        poses_path = (
-            database_dirpath / f"all/database_data/{key}/{video_poses_dirname}/VideoPoses.csv"
-        )
+        if loader_name.startswith("RealEstate"):
+            # RE10K keeps per-scene video pose CSVs under the SET directory
+            # (reference RealEstateTrainerTester01.py:148,206).
+            set_num = test_configs.get("test_set_num", train_configs["data_loader"]["train_set_num"])
+            base = database_dirpath / f"train_test_sets/set{set_num:02}/{video_poses_dirname}"
+            poses_path = base / f"{key}.csv"
+            if not poses_path.exists():
+                poses_path = base / f"{scene_id}.csv"
+        else:
+            poses_path = (
+                database_dirpath / f"all/database_data/{key}/{video_poses_dirname}/VideoPoses.csv"
+            )
         if not poses_path.exists():
             continue
         name = "StaticCameraVideo" if static_camera else "PredictedVideo"

@@ -42,6 +42,11 @@ def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
     # gradient instead of the clamp's zeroed one; consistency._teaching_sq).
     hub = loss_cfg.get("depth_huber")
     hub = float(hub) if hub is not None else None
+    # Optional arbitration-only clamp at depth_arb_clip x far (bounds the
+    # reprojection/mask inputs, keeps the raw teaching gradient;
+    # consistency.reliable_depth_consistency).
+    arb = loss_cfg.get("depth_arb_clip")
+    arb = float(arb) if arb is not None else None
     builders = {
         "MSE01": lambda: photometric.make_photometric_loss(""),
         "MSE02": lambda: photometric.make_photometric_loss("points_augmentation_"),
@@ -58,17 +63,17 @@ def build_loss(name: str, loss_cfg: dict, ctx: LossContext) -> LossFn:
             "points_augmentation_", ctx.points_aug_fine
         ),
         "PointsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "points_augmentation_", patch, thr, ctx.points_aug_fine, clip, hub
+            "points_augmentation_", patch, thr, ctx.points_aug_fine, clip, hub, arb
         ),
         "ViewsAugmentationDepthLoss01": lambda: consistency.make_plain_depth_consistency(
             "views_augmentation_", ctx.views_aug_fine
         ),
         "ViewsAugmentationDepthLoss02": lambda: consistency.make_reliable_depth_consistency(
-            "views_augmentation_", patch, thr, ctx.views_aug_fine, clip, hub
+            "views_augmentation_", patch, thr, ctx.views_aug_fine, clip, hub, arb
         ),
         "CoarseFineConsistencyLoss01": lambda: consistency.make_plain_coarse_fine_consistency(),
         "CoarseFineConsistencyLoss02": lambda: consistency.make_reliable_coarse_fine_consistency(
-            patch, thr, ctx.sparse_depth_enabled, clip, hub
+            patch, thr, ctx.sparse_depth_enabled, clip, hub, arb
         ),
         "VisibilityLoss01": lambda: visibility.make_visibility_loss(),
         "VisibilityPriorLoss01": lambda: visibility.make_visibility_prior_loss(),

@@ -120,6 +120,7 @@ def reliable_depth_consistency(
     rmse_threshold: float,
     depth_clip=None,
     depth_huber=None,
+    depth_arb_clip=None,
 ):
     """Patch-reprojection-arbitrated bidirectional depth consistency.
 
@@ -139,10 +140,22 @@ def reliable_depth_consistency(
     3-4). Clamping bounds the error where the reference's own value is
     extrapolation beyond the scene anyway, and zeroes the teaching gradient
     on clamped rays (d min/dx = 0 there).
+
+    depth_arb_clip (TPU extension, default None): clamp at arb_clip x far
+    ONLY where depth enters the ARBITRATION — the stop-gradient
+    backprojection/reprojection that decides the reliability masks — while
+    the teaching error keeps the RAW depths. Separates the clamp's two
+    effects (studies 6/9 showed the hard clamp's stability costs far-field
+    depth): reprojection coordinates stay bounded (no off-scene
+    extrapolation, no int32 coordinate blow-up on pole rays), but the
+    restoring gradient on a runaway ray is never zeroed.
     """
     rays_o, rays_d = batch["rays_o"], batch["rays_d"]
     depth1 = _clip_depth(depth1, batch, depth_clip)
     depth2 = _clip_depth(depth2, batch, depth_clip)
+    # Arbitration-only view of the depths (identity unless depth_arb_clip).
+    depth1_arb = _clip_depth(depth1, batch, depth_arb_clip)
+    depth2_arb = _clip_depth(depth2, batch, depth_arb_clip)
     nerf_mask = batch["indices_mask_nerf"]
     pixel_ids = batch["pixel_id"]
     scene = batch["common"]
@@ -160,8 +173,8 @@ def reliable_depth_consistency(
     poses_b = jnp.take(poses, image_ids_b, axis=0)
 
     # Backproject at each model's (detached) depth and reproject into view b.
-    pts1 = rays_o + rays_d * jax.lax.stop_gradient(depth1)[..., None]
-    pts2 = rays_o + rays_d * jax.lax.stop_gradient(depth2)[..., None]
+    pts1 = rays_o + rays_d * jax.lax.stop_gradient(depth1_arb)[..., None]
+    pts2 = rays_o + rays_d * jax.lax.stop_gradient(depth2_arb)[..., None]
     pos1 = jnp.round(projection.reproject(pts1, poses_b, intrinsics[0])).astype(jnp.int32)
     pos2 = jnp.round(projection.reproject(pts2, poses_b, intrinsics[0])).astype(jnp.int32)
     x1b, y1b = pos1[:, 0], pos1[:, 1]
@@ -203,6 +216,7 @@ def make_reliable_depth_consistency(
     aug_fine_present: bool = False,
     depth_clip=None,
     depth_huber=None,
+    depth_arb_clip=None,
 ):
     """…AugmentationDepthLoss02 for `prefix` in {'points_augmentation_', 'views_augmentation_'}.
 
@@ -219,7 +233,7 @@ def make_reliable_depth_consistency(
             if main_key in outputs and aug_key in outputs:
                 value, map_main, map_aug = reliable_depth_consistency(
                     outputs[main_key], outputs[aug_key], batch, patch_size,
-                    rmse_threshold, depth_clip, depth_huber,
+                    rmse_threshold, depth_clip, depth_huber, depth_arb_clip,
                 )
                 total += value
                 maps[f"{map_name}_{level}_main"] = map_main
@@ -235,6 +249,7 @@ def make_reliable_coarse_fine_consistency(
     sparse_depth_enabled: bool = True,
     depth_clip=None,
     depth_huber=None,
+    depth_arb_clip=None,
 ):
     """CoarseFineConsistencyLoss02: arbitrated coarse<->fine + the sparse-depth
     branch where detached fine depth teaches coarse (reference :174-189).
@@ -248,7 +263,8 @@ def make_reliable_coarse_fine_consistency(
         dc = _clip_depth(outputs["depth_coarse"], batch, depth_clip)
         df = _clip_depth(outputs["depth_fine"], batch, depth_clip)
         total, map_coarse, map_fine = reliable_depth_consistency(
-            dc, df, batch, patch_size, rmse_threshold, depth_huber=depth_huber
+            dc, df, batch, patch_size, rmse_threshold,
+            depth_huber=depth_huber, depth_arb_clip=depth_arb_clip,
         )
         if sparse_depth_enabled and "indices_mask_sparse_depth" in batch:
             sd_mask = batch["indices_mask_sparse_depth"]

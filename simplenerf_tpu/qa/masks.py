@@ -186,16 +186,20 @@ def generate_visibility_masks(
 
 
 def load_visibility_mask(database_dirpath: Path, masks_dirname: str, scene_name: str,
-                         test_num: int, train_nums) -> Optional[np.ndarray]:
+                         test_num: int, train_nums,
+                         database_subdir: str = "all") -> Optional[np.ndarray]:
     """Combined >=2-view visibility mask for one test frame, or None if any
-    per-view mask file is missing."""
+    per-view mask file is missing. database_subdir is 'all' in the LLFF
+    layout and 'test' in the RealEstate10K layout (reference
+    qa/11_MaskedRMSE/src/MaskedRMSE01_RealEstate.py:70 vs the _NeRF_LLFF
+    variant)."""
     from simplenerf_tpu.qa.metrics import combine_visibility_masks
 
     masks = []
     for train_num in train_nums:
         path = (
             Path(database_dirpath)
-            / f"all/visibility_masks/{masks_dirname}/{scene_name}/visibility_masks/{test_num:04}_{train_num:04}.npy"
+            / f"{database_subdir}/visibility_masks/{masks_dirname}/{scene_name}/visibility_masks/{test_num:04}_{train_num:04}.npy"
         )
         if not path.exists():
             return None

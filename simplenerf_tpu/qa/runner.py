@@ -67,6 +67,7 @@ class QARunner:
         masks_dirname: Optional[str] = None,
         gt_depth_dirpath: Optional[Path] = None,
         depth_scale: float = 1.0,
+        database_subdir: str = "all",
     ):
         self.database_dirpath = Path(database_dirpath)
         self.pred_dirpath = Path(pred_dirpath)
@@ -75,6 +76,9 @@ class QARunner:
         self.test_frames = test_frames  # {scene: [frame_nums]}
         self.resolution_suffix = resolution_suffix
         self.masks_dirname = masks_dirname
+        # "all" in the LLFF layout, "test" in RealEstate10K (reference
+        # qa/*/src/*_RealEstate.py:59,70 vs the *_NeRF_LLFF variants).
+        self.database_subdir = database_subdir
         self.gt_depth_dirpath = Path(gt_depth_dirpath) if gt_depth_dirpath else None
         self.depth_scale = depth_scale
         self.qa_dirpath = self.pred_dirpath / "QA_Scores"
@@ -83,7 +87,7 @@ class QARunner:
     def _gt_frame(self, scene: str, frame_num: int) -> np.ndarray:
         path = (
             self.database_dirpath
-            / f"all/database_data/{scene}/rgb{self.resolution_suffix}/{frame_num:04}.png"
+            / f"{self.database_subdir}/database_data/{scene}/rgb{self.resolution_suffix}/{frame_num:04}.png"
         )
         return io.read_image(path)
 
@@ -112,7 +116,8 @@ class QARunner:
         if self.masks_dirname is None:
             return None
         return load_visibility_mask(
-            self.database_dirpath, self.masks_dirname, scene, frame_num, self.train_frames[scene]
+            self.database_dirpath, self.masks_dirname, scene, frame_num,
+            self.train_frames[scene], database_subdir=self.database_subdir,
         )
 
     # ------------------------------------------------------------------

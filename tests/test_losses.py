@@ -191,6 +191,35 @@ class TestReliableConsistency:
         # Small-error rays are untouched (|e| < delta -> squared branch).
         np.testing.assert_allclose(float(g_hub[1]), float(g_none[1]), rtol=1e-5)
 
+    def test_depth_arb_clip_bounds_mask_inputs_not_gradient(self):
+        """depth_arb_clip: the reprojection/arbitration sees the CLAMPED
+        depth (bounded coordinates, honest patch comparison for pole rays)
+        while the teaching error keeps the raw depths — the restoring
+        gradient on a runaway ray is never zeroed (contrast
+        test_depth_clip_bounds_pole_rays where it is exactly 0)."""
+        batch, d1, d2 = arbitration_batch()
+        batch["far"] = jnp.full((4, 1), 2.0)
+        d2 = d2.at[0].set(1e5)  # pole ray on the wrong model
+
+        def f(d1_, d2_, arb):
+            return consistency.reliable_depth_consistency(
+                d1_, d2_, batch, (5, 5), 0.1, depth_arb_clip=arb)[0]
+
+        # Teaching error unchanged by the arb clamp: still quadratic in the
+        # pole (the loss VALUE is the reference's; only the masks moved).
+        loss_arb = float(f(d1, d2, 3.0))
+        assert loss_arb > 1e8
+        # ... and the restoring gradient is the raw quadratic one, not 0.
+        g2 = jax.grad(f, argnums=1)(d1, d2, 3.0)
+        assert abs(float(g2[0])) > 1e4
+        # The arbitration itself used the clamped depth: reprojecting ray 0
+        # at min(1e5, 6) instead of 1e5 keeps coordinates bounded. With
+        # identical-looking patches, the reliable teacher is still d1 (true
+        # depth), so the structure of the loss matches the unclamped one on
+        # the healthy rays.
+        g2_none = jax.grad(f, argnums=1)(d1, d2, None)
+        np.testing.assert_allclose(float(g2[1]), float(g2_none[1]), rtol=1e-5)
+
     def test_coarse_fine_sd_branch(self):
         batch, d1, d2 = arbitration_batch()
         batch["indices_mask_nerf"] = jnp.array([True, True, False, False])
