@@ -1,30 +1,35 @@
-"""Round-5 chip queue, part 2: code-dependent studies after the 100k A/B.
+"""Round-5 chip queue, part 2: merged priority queue after the 100k A/B.
 
 Same single-process rationale as round5_queue.py (one ~9-min chip handoff
-for the whole batch). Stages, in VERDICT-r4 priority order:
+for the whole batch). Stage order set by the 100k realistic-prior A/B
+outcome (the unclipped full arm spent 100k iterations in a heavy spike
+regime — 101 excursions, max event 2.8e6 — and ended BELOW its own 20k
+sibling on every family), per VERDICT r4 directives:
 
-  1. re_smoke      — RE10K-layout e2e smoke through the RealEstate driver
-                     (directive 6; warm studies-8 program set).
-  2. bench_clip    — bench.py bf16 workload, baseline vs depth_clip=2
-                     (directive 8; both programs cached).
-  3. arb_bf16_20k  — stability screen: arbitration-only clamp at 2x far,
-                     bf16 20k full arm, study-7 protocol (directive 2;
-                     novel program, ~30 min remote compile).
-  4. sens_*        — prior-statistics sensitivity cells (directive 4),
-                     f32 colmap 3-view 20k A/B at keypoints {16, 64} and
-                     outlier fraction {0, 0.10}; all programs warm.
-  5. huber05       — second stability candidate: Huber delta = 0.5x far,
-                     bf16 20k full arm (directive 2; novel program).
-  6. multiscene    — 3-scene colmap-prior A/B at 20k (directive 5; warm).
+  1. clip100k    — the directive-1 third arm: full recipe + depth_clip=2,
+                   f32, COLMAP prior, the published 100k schedule. Decides
+                   whether the recommended stabilized recipe keeps the
+                   realistic-prior win where the reference-exact one loses
+                   it to spikes. Program cached (study 6 ran f32+clip).
+  2. colmap4v    — 4-view realistic A/B at 20k (directive 3), completing
+                   the published 2/3/4-view trend (novel programs,
+                   ~30 min remote compile).
+  3. re_smoke    — RE10K-layout e2e smoke via the RealEstate driver
+                   (directive 6; warm studies-8 programs).
+  4. bench_clip  — bench.py bf16 workload, baseline vs depth_clip=2
+                   (directive 8; both programs cached).
+  5. arb screen  — arbitration-only clamp, bf16 20k full arm (directive 2).
+  6. sens_*      — prior-statistics sensitivity cells (directive 4).
+  7. huber05     — Huber delta=0.5 screen (directive 2).
+  8. multiscene  — 3-scene colmap A/B at 20k (directive 5).
 
-Each stage is skipped when its summary file already exists, so a watchdog
-relaunch resumes mid-queue; stages also skip when the ROUND5_DEADLINE_EPOCH
-budget cannot cover their estimated cost (the driver needs the chip back
-for the end-of-round bench).
+Stages skip when their summary exists (watchdog-relaunch safe) or when the
+deadline budget cannot cover their estimated cost (the driver needs the
+chip back for the end-of-round bench).
 
 Launch:
-  ROUND5_DEADLINE_EPOCH=<epoch> python scripts/tpu_watchdog.py \
-      --log /root/repo/.studies/r5queue2.log --watch /root/repo/.studies \
+  python scripts/tpu_watchdog.py --log /root/repo/.studies/r5queue.log \
+      --watch /root/repo/.studies \
       -- python -c "exec(open('scripts/round5_queue2.py').read())"
 """
 
@@ -36,7 +41,9 @@ import time
 from contextlib import redirect_stdout
 from pathlib import Path
 
-DEADLINE = float(os.environ.get("ROUND5_DEADLINE_EPOCH", time.time() + 4 * 3600))
+# 13:10 UTC on 2026-08-21 — leaves the driver ~35 min of chip for the
+# end-of-round bench after the post-exit refusal window.
+DEADLINE = float(os.environ.get("ROUND5_DEADLINE_EPOCH", "1787317800"))
 STUDY_SRC = open("scripts/ablation_study_tpu.py").read()
 
 
@@ -69,10 +76,43 @@ def run_study(name, est_s, env):
     qlog(f"{name}: done in {time.time() - t0:.0f}s")
 
 
-# --- stage 1: RE10K smoke -------------------------------------------------
+COLMAP_100K = {
+    "ABLATION_ITERS": "100000", "ABLATION_RAMP": "10000",
+    "ABLATION_TRAIN_VIEWS": "3", "ABLATION_DTYPE": "float32",
+    "ABLATION_SPARSE_MODE": "colmap", "ABLATION_SPARSE_POINTS": "32",
+    "ABLATION_SPARSE_NOISE": "0.02", "ABLATION_PX_SIGMA": "1.0",
+    "ABLATION_OUTLIER_FRAC": "0.05", "ABLATION_ARMS": "full",
+    "ABLATION_DEPTH_CLIP": "", "ABLATION_DEPTH_HUBER": "",
+    "ABLATION_DEPTH_ARB_CLIP": "",
+    "ABLATION_SAVE_INTERVAL": "10000", "ABLATION_LOG_INTERVAL": "100",
+}
+COLMAP_F32_20K = dict(COLMAP_100K, ABLATION_ITERS="20000", ABLATION_RAMP="2000",
+                      ABLATION_ARMS="full,ablation")
+BF16_SCREEN = {
+    "ABLATION_ITERS": "20000", "ABLATION_RAMP": "2000",
+    "ABLATION_TRAIN_VIEWS": "3", "ABLATION_DTYPE": "bfloat16",
+    "ABLATION_SPARSE_MODE": "uniform", "ABLATION_SPARSE_POINTS": "96",
+    "ABLATION_SPARSE_NOISE": "0.02", "ABLATION_PX_SIGMA": "1.0",
+    "ABLATION_OUTLIER_FRAC": "0.05", "ABLATION_ARMS": "full",
+    "ABLATION_DEPTH_CLIP": "", "ABLATION_DEPTH_HUBER": "",
+    "ABLATION_DEPTH_ARB_CLIP": "",
+    "ABLATION_SAVE_INTERVAL": "10000", "ABLATION_LOG_INTERVAL": "100",
+}
+
+# --- stage 1: the stabilized third arm at the published schedule ----------
+run_study("clip100k", 7300, dict(
+    COLMAP_100K, ABLATION_ROOT="/root/repo/.studies/colmap100k_clip",
+    ABLATION_DEPTH_CLIP="2.0"))
+
+# --- stage 2: 4-view realistic A/B (novel programs) -----------------------
+run_study("colmap4v", 5800, dict(
+    COLMAP_F32_20K, ABLATION_ROOT="/root/repo/.studies/colmap4v",
+    ABLATION_TRAIN_VIEWS="4"))
+
+# --- stage 3: RE10K smoke -------------------------------------------------
 if (Path("/root/repo/.studies/re_smoke/summary.json")).exists():
     qlog("re_smoke: already complete, skipping")
-elif remaining() < 1500:
+elif remaining() < 1200:
     qlog("re_smoke: skipped (deadline)")
 else:
     qlog("re_smoke: starting")
@@ -81,11 +121,11 @@ else:
          {"__name__": "__main__"})
     qlog(f"re_smoke: done in {time.time() - t0:.0f}s")
 
-# --- stage 2: bench baseline vs depth_clip=2 ------------------------------
+# --- stage 4: bench baseline vs depth_clip=2 ------------------------------
 bench_out = Path("/root/repo/.studies/bench_clip_r5.json")
 if bench_out.exists():
     qlog("bench_clip: already complete, skipping")
-elif remaining() < 1200:
+elif remaining() < 1100:
     qlog("bench_clip: skipped (deadline)")
 else:
     import bench as bench_mod
@@ -103,53 +143,31 @@ else:
     os.environ["BENCH_DEPTH_CLIP"] = ""
     bench_out.write_text(json.dumps(results, indent=2))
 
-# --- shared env bases -----------------------------------------------------
-BF16_SCREEN = {
-    "ABLATION_ITERS": "20000", "ABLATION_RAMP": "2000",
-    "ABLATION_TRAIN_VIEWS": "3", "ABLATION_DTYPE": "bfloat16",
-    "ABLATION_SPARSE_MODE": "uniform", "ABLATION_SPARSE_POINTS": "96",
-    "ABLATION_SPARSE_NOISE": "0.02", "ABLATION_PX_SIGMA": "1.0",
-    "ABLATION_OUTLIER_FRAC": "0.05", "ABLATION_ARMS": "full",
-    "ABLATION_DEPTH_CLIP": "", "ABLATION_DEPTH_HUBER": "",
-    "ABLATION_DEPTH_ARB_CLIP": "",
-    "ABLATION_SAVE_INTERVAL": "10000", "ABLATION_LOG_INTERVAL": "100",
-}
-COLMAP_F32 = {
-    "ABLATION_ITERS": "20000", "ABLATION_RAMP": "2000",
-    "ABLATION_TRAIN_VIEWS": "3", "ABLATION_DTYPE": "float32",
-    "ABLATION_SPARSE_MODE": "colmap", "ABLATION_SPARSE_POINTS": "32",
-    "ABLATION_SPARSE_NOISE": "0.02", "ABLATION_PX_SIGMA": "1.0",
-    "ABLATION_OUTLIER_FRAC": "0.05", "ABLATION_ARMS": "full,ablation",
-    "ABLATION_DEPTH_CLIP": "", "ABLATION_DEPTH_HUBER": "",
-    "ABLATION_DEPTH_ARB_CLIP": "",
-    "ABLATION_SAVE_INTERVAL": "10000", "ABLATION_LOG_INTERVAL": "100",
-}
-
-# --- stage 3: arbitration-only clamp screen (novel program) ---------------
+# --- stage 5: arbitration-only clamp screen (novel program) ---------------
 run_study("arb_bf16_20k", 4200, dict(
     BF16_SCREEN, ABLATION_ROOT="/root/repo/.studies/arb_bf16_20k",
     ABLATION_DEPTH_ARB_CLIP="2.0"))
 
-# --- stage 4: prior-statistics sensitivity cells (warm f32 programs) ------
+# --- stage 6: prior-statistics sensitivity cells (warm f32 programs) ------
 run_study("sens_kp16", 3300, dict(
-    COLMAP_F32, ABLATION_ROOT="/root/repo/.studies/sens_kp16",
+    COLMAP_F32_20K, ABLATION_ROOT="/root/repo/.studies/sens_kp16",
     ABLATION_SPARSE_POINTS="16"))
 run_study("sens_kp64", 3300, dict(
-    COLMAP_F32, ABLATION_ROOT="/root/repo/.studies/sens_kp64",
+    COLMAP_F32_20K, ABLATION_ROOT="/root/repo/.studies/sens_kp64",
     ABLATION_SPARSE_POINTS="64"))
 run_study("sens_out0", 3300, dict(
-    COLMAP_F32, ABLATION_ROOT="/root/repo/.studies/sens_out0",
+    COLMAP_F32_20K, ABLATION_ROOT="/root/repo/.studies/sens_out0",
     ABLATION_OUTLIER_FRAC="0.0"))
 run_study("sens_out10", 3300, dict(
-    COLMAP_F32, ABLATION_ROOT="/root/repo/.studies/sens_out10",
+    COLMAP_F32_20K, ABLATION_ROOT="/root/repo/.studies/sens_out10",
     ABLATION_OUTLIER_FRAC="0.10"))
 
-# --- stage 5: Huber delta=0.5 screen (novel program) ----------------------
+# --- stage 7: Huber delta=0.5 screen (novel program) ----------------------
 run_study("huber05_bf16_20k", 4200, dict(
     BF16_SCREEN, ABLATION_ROOT="/root/repo/.studies/huber05_bf16_20k",
     ABLATION_DEPTH_HUBER="0.5"))
 
-# --- stage 6: multi-scene colmap A/B (warm) -------------------------------
+# --- stage 8: multi-scene colmap A/B (warm) -------------------------------
 ms_root = Path("/root/repo/.studies/multiscene_colmap")
 if (ms_root / "summary.json").exists():
     qlog("multiscene: already complete, skipping")
