@@ -1,0 +1,139 @@
+"""Chip-yield sentinel for the phase-2 round-5 queue.
+
+The round's true end time is unknown after the mid-round host reboot
+(the driver reset its wall/turn counters, so the horizon could be ~1h or
+~7h away). The long studies are worth running either way because the
+driver's end-of-round bench demonstrably absorbs the ~9-min post-exit
+chip-refusal window (round 4: builder benched until seconds before the
+snapshot and BENCH_r04 still recorded) — PROVIDED our process has
+actually exited by the time the driver probes. This sentinel guarantees
+that: it watches for the two observable signs of round end and then
+frees the chip immediately by killing
+
+  1. the watchdog (exact pid, so it cannot relaunch), then
+  2. the watchdog's current child (exact pgid parsed from the watchdog
+     log's "launched pid=NNN" lines — the child is its own session).
+
+Round-end signs watched:
+  - any OTHER process whose cmdline references bench.py / __graft_entry__
+    (the driver's scored bench or compile check starting up), detected by
+    reading /proc — never used for killing, only as a signal;
+  - a new git commit whose subject contains "end-of-round" (the driver's
+    snapshot commit).
+
+The studies it interrupts lose at most model_save_interval iterations:
+checkpoint resume is bit-identical (round-4 watchdog test + live run).
+
+Usage: python scripts/round5_sentinel.py WATCHDOG_PID WATCHDOG_OUT_LOG
+"""
+
+import os
+import re
+import signal
+import subprocess
+import sys
+import time
+
+WATCHDOG_PID = int(sys.argv[1])
+WATCHDOG_OUT = sys.argv[2]
+MY_SIDE_PIDS = {WATCHDOG_PID, os.getpid()}
+
+
+def slog(msg):
+    print(f"[sentinel {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def child_pgids():
+    """Exact pgids of children the watchdog launched (parsed, then verified
+    to still be live python processes started by the watchdog)."""
+    pids = []
+    try:
+        with open(WATCHDOG_OUT, "rb") as f:
+            for line in f.read().decode("utf-8", "replace").splitlines():
+                m = re.search(r"launched pid=(\d+)", line)
+                if m:
+                    pids.append(int(m.group(1)))
+    except OSError:
+        pass
+    live = []
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+            if ppid == WATCHDOG_PID:
+                live.append(pid)
+        except (OSError, ValueError, IndexError):
+            continue
+    return live
+
+
+def foreign_bench_running():
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) in MY_SIDE_PIDS:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "bench.py" in cmd or "__graft_entry__" in cmd or "dryrun_multichip" in cmd:
+            # our queue runs bench in-process under "python -c exec(...)",
+            # so a literal bench.py/dryrun cmdline can only be the driver
+            return pid, cmd.strip()
+    return None
+
+
+def snapshot_commit_seen():
+    try:
+        subj = subprocess.run(
+            ["git", "-C", "/root/repo", "log", "-1", "--format=%s"],
+            capture_output=True, text=True, timeout=10).stdout
+        return "end-of-round" in subj
+    except Exception:
+        return False
+
+
+def yield_chip(reason):
+    slog(f"ROUND-END SIGNAL: {reason} — freeing the chip")
+    targets = child_pgids()
+    try:
+        os.kill(WATCHDOG_PID, signal.SIGTERM)
+        slog(f"TERM -> watchdog {WATCHDOG_PID}")
+    except ProcessLookupError:
+        pass
+    for pid in targets:
+        try:
+            os.killpg(pid, signal.SIGTERM)
+            slog(f"TERM -> pgid {pid}")
+        except ProcessLookupError:
+            continue
+    time.sleep(8)
+    for pid in targets:
+        try:
+            os.killpg(pid, signal.SIGKILL)
+            slog(f"KILL -> pgid {pid}")
+        except ProcessLookupError:
+            continue
+    slog("chip freed")
+
+
+def main():
+    slog(f"watching watchdog={WATCHDOG_PID} log={WATCHDOG_OUT}")
+    while True:
+        try:
+            os.kill(WATCHDOG_PID, 0)
+        except ProcessLookupError:
+            slog("watchdog gone (queue finished or killed) — exiting")
+            return
+        hit = foreign_bench_running()
+        if hit:
+            yield_chip(f"foreign bench process pid={hit[0]}: {hit[1][:120]}")
+            return
+        if snapshot_commit_seen():
+            yield_chip("driver end-of-round snapshot commit")
+            return
+        time.sleep(15)
+
+
+if __name__ == "__main__":
+    main()
