@@ -76,9 +76,12 @@ def foreign_bench_running():
                 cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
         except OSError:
             continue
-        if "bench.py" in cmd or "__graft_entry__" in cmd or "dryrun_multichip" in cmd:
-            # our queue runs bench in-process under "python -c exec(...)",
-            # so a literal bench.py/dryrun cmdline can only be the driver
+        # ONLY a literal bench.py invocation counts: that is the one driver
+        # process that needs the chip. Our queue benches in-process under
+        # "python -c exec(...)" so it cannot match, and our own CPU-side
+        # checks (dryrun_multichip etc.) must never be listed here — one
+        # already false-triggered this sentinel and killed a live study.
+        if "bench.py" in cmd:
             return pid, cmd.strip()
     return None
 
